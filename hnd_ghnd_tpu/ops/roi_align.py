@@ -1,0 +1,168 @@
+"""Multi-scale RoIAlign as a fixed-shape XLA gather program.
+
+Replaces torchvision's C++/CUDA ``roi_align`` + ``MultiScaleRoIAlign``
+(reference use: box head 7x7, mask/keypoint heads 14x14, sampling_ratio=2,
+FPN levels P2..P5 — src/models/org/rcnn.py:196-199, :261-265, :334-338).
+
+TPU formulation
+---------------
+All FPN levels are flattened and concatenated into one [sum(Hl*Wl), C] table.
+Each RoI picks its level with the canonical FPN heuristic
+(floor(4 + log2(sqrt(area)/224 + eps)), clamped to [2, 5]) which becomes a
+per-RoI base offset into the table — so the whole op is 4 big gathers (one
+per bilinear corner) + weighted sums, with no data-dependent shapes and no
+per-level ragged dispatch.  Interpolation semantics replicate torchvision
+0.4.2 exactly (legacy non-aligned offsets, roi size clamped to >= 1, border
+rules: sample points outside [-1, size] contribute 0, then clamped to
+[0, size-1]).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CANONICAL_SCALE = 224.0
+CANONICAL_LEVEL = 4
+LVL_MIN = 2
+LVL_MAX = 5
+
+
+def assign_levels(boxes: jnp.ndarray) -> jnp.ndarray:
+    """FPN level index (0-based: level k -> k - LVL_MIN) per RoI [N]."""
+    w = boxes[..., 2] - boxes[..., 0]
+    h = boxes[..., 3] - boxes[..., 1]
+    scale = jnp.sqrt(jnp.clip(w * h, 0.0))
+    k = jnp.floor(CANONICAL_LEVEL + jnp.log2(scale / CANONICAL_SCALE + 1e-6))
+    k = jnp.clip(k, LVL_MIN, LVL_MAX)
+    return (k - LVL_MIN).astype(jnp.int32)
+
+
+def _bilinear_params(coord: jnp.ndarray, size: jnp.ndarray):
+    """torchvision-exact bilinear setup along one axis.
+
+    coord: sample coordinates [...]; size: feature extent (scalar or per-row).
+    Returns (low_idx, high_idx, low_weight, high_weight, in_range_mask).
+    """
+    in_range = (coord >= -1.0) & (coord <= size)
+    c = jnp.clip(coord, 0.0)
+    low = jnp.floor(c)
+    # if low >= size - 1: low = high = size - 1, coord snapped
+    snap = low >= size - 1.0
+    low = jnp.where(snap, size - 1.0, low)
+    c = jnp.where(snap, low, c)
+    high = jnp.where(snap, low, low + 1.0)
+    l_frac = c - low
+    return (low.astype(jnp.int32), high.astype(jnp.int32),
+            1.0 - l_frac, l_frac, in_range)
+
+
+def multiscale_roi_align(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_size: Tuple[int, int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    boxes_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """RoIAlign over FPN levels for one image.
+
+    features: list of [Hl, Wl, C] arrays for P2..P5 (strides 4/8/16/32).
+    boxes: [N, 4] in padded-image coordinates. image_size: padded (H, W).
+    Returns [N, output_size, output_size, C].
+    """
+    num_levels = len(features)
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+
+    # Static per-level geometry.
+    heights = np.array([f.shape[0] for f in features], dtype=np.float32)
+    widths = np.array([f.shape[1] for f in features], dtype=np.float32)
+    # torchvision infers scales as 2^round(log2(feat/img)) — exact powers of
+    # two for stride-aligned buckets.
+    scales = np.array(
+        [2.0 ** np.round(np.log2(f.shape[0] / float(image_size[0]))) for f in features],
+        dtype=np.float32,
+    )
+    offsets = np.concatenate(
+        [[0], np.cumsum([f.shape[0] * f.shape[1] for f in features])]
+    )[:num_levels].astype(np.int32)
+
+    table = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+
+    n = boxes.shape[0]
+    lvl = assign_levels(boxes)  # [N]
+    lvl_scale = jnp.asarray(scales)[lvl]  # [N]
+    lvl_h = jnp.asarray(heights)[lvl]
+    lvl_w = jnp.asarray(widths)[lvl]
+    lvl_off = jnp.asarray(offsets)[lvl]
+
+    # RoI in feature coordinates (legacy non-aligned: no -0.5 offset).
+    x1 = boxes[:, 0] * lvl_scale
+    y1 = boxes[:, 1] * lvl_scale
+    x2 = boxes[:, 2] * lvl_scale
+    y2 = boxes[:, 3] * lvl_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / output_size  # [N]
+    bin_h = roi_h / output_size
+
+    s = sampling_ratio
+    # Sample-point coordinates: [N, P, S] for P = output bins, S = samples/bin.
+    bins = jnp.arange(output_size, dtype=jnp.float32)
+    samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = (y1[:, None, None]
+          + bins[None, :, None] * bin_h[:, None, None]
+          + samp[None, None, :] * bin_h[:, None, None])  # [N, out, s]
+    xs = (x1[:, None, None]
+          + bins[None, :, None] * bin_w[:, None, None]
+          + samp[None, None, :] * bin_w[:, None, None])
+
+    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, lvl_h[:, None, None])
+    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, lvl_w[:, None, None])
+
+    # Expand to the full [N, out, s(y), out, s(x)] grid.
+    def ygrid(a):
+        return a[:, :, :, None, None]
+
+    def xgrid(a):
+        return a[:, None, None, :, :]
+
+    ok = ygrid(y_ok.astype(dtype)) * xgrid(x_ok.astype(dtype))
+    w_stride = lvl_w.astype(jnp.int32)[:, None, None, None, None]
+    base = lvl_off[:, None, None, None, None]
+
+    out = None
+    for (yi, wy) in ((y_lo, wy_lo), (y_hi, wy_hi)):
+        for (xi, wx) in ((x_lo, wx_lo), (x_hi, wx_hi)):
+            idx = base + ygrid(yi) * w_stride + xgrid(xi)  # [N,out,s,out,s]
+            vals = jnp.take(table, idx.reshape(-1), axis=0)
+            vals = vals.reshape(idx.shape + (c,))
+            w = (ygrid(wy) * xgrid(wx) * ok).astype(dtype)[..., None]
+            contrib = vals * w
+            out = contrib if out is None else out + contrib
+
+    # Average over the sampling grid; torchvision divides by the full sample
+    # count including out-of-range points, which is what mean() does here.
+    out = out.mean(axis=(2, 4))  # [N, out, s, out, s, C] -> [N, out, out, C]
+    if boxes_valid is not None:
+        out = out * boxes_valid.astype(dtype)[:, None, None, None]
+    return out
+
+
+def multiscale_roi_align_batch(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_size: Tuple[int, int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    boxes_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Batched variant: features [B, Hl, Wl, C] per level, boxes [B, N, 4]."""
+    fn = lambda feats, bxs, val: multiscale_roi_align(
+        feats, bxs, image_size, output_size, sampling_ratio, val)
+    if boxes_valid is None:
+        boxes_valid = jnp.ones(boxes.shape[:2], dtype=bool)
+    return jax.vmap(fn)(list(features), boxes, boxes_valid)
