@@ -1,0 +1,105 @@
+"""Config-driven model construction (the reference YAML schema, unchanged).
+
+Parity surface: src/models/__init__.py:38-57 (``get_model``) +
+src/models/org/rcnn.py:423-451 — teacher = stock resnet50 trunk, student =
+custom_resnet50 with the Bottleneck4LargeResNet injected into layer1, an
+optional ext filter, an optional quantize/dequantize bottleneck transformer,
+and iou_types derived from the model class (models/__init__.py:60-70).
+
+The ``pretrained`` flag maps to loading a converted torchvision zoo
+checkpoint when one is available on disk (models/convert.py); this
+environment has no network egress, so absent weights fall back to random
+init with a warning rather than downloading.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from hnd_ghnd_tpu.models.bottleneck import Bottleneck4LargeResNet
+from hnd_ghnd_tpu.models.rcnn import RCNN
+
+logger = logging.getLogger(__name__)
+
+KNOWN_KINDS = ("faster_rcnn", "mask_rcnn", "keypoint_rcnn")
+BOTTLENECK_NAMES = {"Bottleneck4LargeResNet", "Bottleneck4SmallResNet"}
+
+
+def _quant_bits_from_transformer(cfg: Optional[dict]) -> Optional[int]:
+    if not cfg:
+        return None
+    comp = cfg.get("components", {})
+    q = comp.get("quantizer", {}).get("params", {})
+    return int(q.get("num_bits", 8))
+
+
+def build_model(model_config: Dict[str, Any]) -> RCNN:
+    """Build an RCNN from a reference-schema model config block
+    (``teacher_model`` / ``student_model`` / ``model``)."""
+    kind = model_config["name"]
+    if kind not in KNOWN_KINDS:
+        raise KeyError(f"model name `{kind}` is not expected")
+    backbone_cfg = model_config["backbone"]
+    backbone_name = backbone_cfg["name"]
+    params_cfg = model_config.get("params", {}) or {}
+    num_classes = int(params_cfg.get("num_classes", 91))
+    num_keypoints = int(params_cfg.get("num_keypoints", 17))
+
+    bottleneck = None
+    ext_threshold = None
+    layer1_cfg = (backbone_cfg.get("params", {}) or {}).get("layer1")
+    if layer1_cfg is not None:
+        name = layer1_cfg["name"]
+        if name not in BOTTLENECK_NAMES:
+            raise ValueError(f"layer1 name `{name}` is not expected")
+        # The reference factory instantiates the Large variant regardless of
+        # the Small name (resnet_layer.py:80-81) — preserved behavior.
+        ext_config = backbone_cfg.get("ext_config")
+        quant_bits = _quant_bits_from_transformer(
+            model_config.get("bottleneck_transformer"))
+        bottleneck = Bottleneck4LargeResNet(
+            int(layer1_cfg["bottleneck_channel"]), ext_config,
+            quant_bits=quant_bits)
+        if ext_config is not None:
+            ext_threshold = float(ext_config.get("threshold", 0.01))
+
+    return RCNN(kind=kind, backbone_name=backbone_name,
+                num_classes=num_classes, bottleneck=bottleneck,
+                num_keypoints=num_keypoints, ext_threshold=ext_threshold)
+
+
+def init_model(model: RCNN, seed: int = 0):
+    return model.init(jax.random.PRNGKey(seed))
+
+
+def get_model(model_config: Dict[str, Any], seed: int = 0,
+              pretrained_dir: Optional[str] = None):
+    """Build + initialize (+ optionally load converted zoo weights).
+
+    Returns (model, params, state).
+    """
+    model = build_model(model_config)
+    params, state = init_model(model, seed)
+    if (model_config.get("params", {}) or {}).get("pretrained"):
+        from hnd_ghnd_tpu.models.convert import maybe_load_pretrained
+        loaded = maybe_load_pretrained(model, params, state,
+                                       model_config, pretrained_dir)
+        if loaded is not None:
+            params, state = loaded
+        else:
+            logger.warning(
+                "pretrained=True but no converted checkpoint found "
+                "(zero-egress environment); using random init")
+    return model, params, state
+
+
+def get_iou_types(model: RCNN):
+    """Eval IoU types per model class (reference models/__init__.py:60-70)."""
+    iou_types = ["bbox"]
+    if model.kind == "mask_rcnn":
+        iou_types.append("segm")
+    elif model.kind == "keypoint_rcnn":
+        iou_types.append("keypoints")
+    return iou_types
