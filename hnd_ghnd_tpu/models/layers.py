@@ -182,7 +182,9 @@ def batch_norm(params: Params, state: Params, x: jnp.ndarray, *,
 # ---------------------------------------------------------------------------
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding: int) -> jnp.ndarray:
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for JAX to recognize the differentiable
+    # reduce-window-max monoid (finfo.min breaks reverse-mode autodiff)
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),

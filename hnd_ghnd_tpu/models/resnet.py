@@ -169,11 +169,15 @@ class ResNetBody:
 
     def apply(self, params: Params, state: Params, x: jnp.ndarray, *,
               training: bool = False, use_bottleneck_transformer: bool = False,
-              ext_training: bool = False):
+              ext_training: bool = False, upto: int = 4):
         """Full trunk forward.
 
         Returns (features dict {'layer1'..'layer4'}, new_state, ext_logits).
         With an injected bottleneck, state carries its BN statistics.
+
+        ``upto`` truncates the trunk after ``layer{upto}`` — the HND
+        distillation step only needs layer1, so layers 2-4 (and the FPN) can
+        be skipped entirely; the reference computes them wastefully.
         """
         new_state: Params = dict(state)
         ext_logits = None
@@ -191,6 +195,8 @@ class ResNetBody:
             y = self._apply_stage(params, y, 0)
         feats["layer1"] = y
         for stage in (1, 2, 3):
+            if stage + 1 > upto:
+                break
             y = self._apply_stage(params, y, stage)
             feats[f"layer{stage + 1}"] = y
         return feats, new_state, ext_logits
