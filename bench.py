@@ -1,0 +1,95 @@
+"""Headline benchmark: GHND distillation step throughput (images/sec/chip).
+
+This is the reference's hot loop (src/mimic_runner.py:38-59: teacher forward
++ student forward + 4-term MSE + optimizer step on the bottleneck) at COCO
+training resolution (min side 800, padded bucket 832x1344), run as one jitted
+bf16 program on a single TPU chip.
+
+vs_baseline: ratio against the V100 reference anchor (see BASELINE.md —
+torchvision 0.4.2 Faster R-CNN R50-FPN fp32 on one V100 sustains ~10 img/s
+for a comparable fwd+bwd step; the repo publishes no numbers, so this anchor
+is the documented estimate BASELINE.md derives).
+
+Prints exactly one JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+V100_BASELINE_IMG_S = 10.0
+BATCH = 8
+BUCKET = (832, 1344)
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from hnd_ghnd_tpu.distill.box import DistillationBox
+    from hnd_ghnd_tpu.models.factory import build_model
+    from hnd_ghnd_tpu.parallel.mesh import build_optimizer, make_distill_train_step
+    from __graft_entry__ import _student_config, _teacher_config
+
+    teacher = build_model(_teacher_config())
+    student = build_model(_student_config())
+    t_params, t_state = teacher.init(jax.random.PRNGKey(0))
+    s_params, s_state = student.init(jax.random.PRNGKey(1))
+
+    criterion = {
+        "type": "general",
+        "params": {"org_loss_factor": 0.0},
+        "terms": {
+            f"layer{i}": {
+                "ts_modules": [f"backbone.body.layer{i}"] * 2,
+                "criterion": {"type": "MSELoss",
+                              "params": {"reduction": "sum"}},
+                "factor": 1.0,
+            } for i in (1, 2, 3, 4)
+        },
+    }
+    frozen = ["backbone.body.layer2", "backbone.body.layer3",
+              "backbone.body.layer4", "backbone.fpn", "rpn", "roi_heads"]
+
+    box = DistillationBox(teacher, student, criterion)
+    optimizer, _ = build_optimizer({"type": "Adam", "params": {"lr": 1e-3}})
+    step = make_distill_train_step(box, optimizer, frozen,
+                                   compute_dtype=jnp.bfloat16, donate=False)
+    opt_state = optimizer.init(s_params)
+
+    h, w = BUCKET
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.rand(BATCH, h, w, 3).astype(np.float32)),
+        "image_sizes": jnp.asarray([[800, 1333]] * BATCH, dtype=jnp.int32),
+        "original_sizes": jnp.asarray([[800, 1333]] * BATCH, dtype=jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    sp, ss, os_ = s_params, s_state, opt_state
+    for i in range(WARMUP):
+        loss, _, sp, ss, os_ = step(t_params, t_state, sp, ss, os_, batch, key)
+        float(loss)
+
+    # force a host read of the loss every step: on the tunneled single-chip
+    # backend block_until_ready() is unreliable for timing; a scalar D2H
+    # transfer is the only sync that provably waits for execution
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        loss, _, sp, ss, os_ = step(t_params, t_state, sp, ss, os_, batch, key)
+        float(loss)
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "ghnd_distill_step_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / V100_BASELINE_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,8 +8,9 @@ the reference YAML schema (``ts_modules: ['backbone.body.layer1', ...]``,
 
 Conventions:
   * activations NHWC, conv kernels HWIO (JAX native TPU layouts);
-  * convolutions run in the requested compute dtype with fp32 accumulation
-    (``preferred_element_type``) so bf16 speed never costs fp32 accuracy;
+  * convolutions run in the requested compute dtype; the TPU MXU accumulates
+    bf16 operands in fp32 internally, so bf16 speed never costs fp32
+    accumulation accuracy;
   * BatchNorm comes in two flavors exactly like the reference: ``frozen_bn``
     (inference affine fold — torchvision FrozenBatchNorm2d, used across the
     ResNet trunk) and ``batch_norm`` (trainable with running stats, used
@@ -73,11 +74,10 @@ def conv2d(params: Params, x: jnp.ndarray, stride: int | Tuple[int, int] = 1,
         padding=padding,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in params:
-        out = out + params["b"].astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + params["b"].astype(out.dtype)
+    return out
 
 
 def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,
@@ -94,11 +94,10 @@ def conv_transpose2d(params: Params, x: jnp.ndarray, stride: int = 2,
         padding=((pad_h, pad_h), (pad_w, pad_w)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in params:
-        out = out + params["b"].astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + params["b"].astype(out.dtype)
+    return out
 
 
 def linear_init(rng, cin, cout) -> Params:
@@ -110,9 +109,8 @@ def linear_init(rng, cin, cout) -> Params:
 
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.dot(x, params["w"].astype(x.dtype),
-                  preferred_element_type=jnp.float32)
-    return (out + params["b"].astype(jnp.float32)).astype(x.dtype)
+    out = jnp.dot(x, params["w"].astype(x.dtype))
+    return out + params["b"].astype(out.dtype)
 
 
 # ---------------------------------------------------------------------------

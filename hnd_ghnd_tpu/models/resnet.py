@@ -53,9 +53,8 @@ def _grouped_conv(params, x, stride, padding, groups):
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
+    return out
 
 
 class ResNetBody:
