@@ -1,0 +1,165 @@
+"""Batched detection data loader with static-shape bucketing.
+
+Replaces the reference's DataLoader stack (src/utils/data_util.py:18-48 +
+GroupedBatchSampler, src/structure/sampler.py): aspect-ratio grouping here
+guarantees every batch shares one padded bucket (one compiled program per
+bucket), per-host sharding replaces DistributedSampler, and a thread pool
+overlaps JPEG decode/augment with device compute.
+
+Batch layout handed to jitted code:
+  images          [B, H, W, 3] float32 in [0, 1]   (bucket-padded)
+  image_sizes     [B, 2] int32   valid (h, w) inside the bucket
+  original_sizes  [B, 2] int32   pre-resize (h, w)
+Targets (train):
+  boxes [B, G, 4] f32, labels [B, G] i32, boxes_valid [B, G] bool
+(keypoints/masks stay host-side per batch for the loss/eval stages that
+need them).
+"""
+from __future__ import annotations
+
+import random
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hnd_ghnd_tpu.data import transforms as T
+from hnd_ghnd_tpu.data.coco import CocoDataset
+
+MAX_GT = 100
+
+
+def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT) -> Dict[str, np.ndarray]:
+    b = len(targets)
+    boxes = np.zeros((b, max_gt, 4), np.float32)
+    labels = np.zeros((b, max_gt), np.int32)
+    valid = np.zeros((b, max_gt), bool)
+    for i, t in enumerate(targets):
+        g = min(len(t["boxes"]), max_gt)
+        boxes[i, :g] = t["boxes"][:g]
+        labels[i, :g] = t["labels"][:g]
+        valid[i, :g] = True
+    return {"boxes": boxes, "labels": labels, "boxes_valid": valid}
+
+
+class DetectionLoader:
+    """Iterates (device_batch, target_batch, host_targets) tuples."""
+
+    def __init__(self, dataset: CocoDataset, batch_size: int, *,
+                 training: bool, min_sizes: Sequence[int] = (800,),
+                 max_size: int = 1333,
+                 buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
+                 hflip_prob: float = 0.5, seed: int = 0,
+                 num_workers: int = 4, shard_index: int = 0,
+                 num_shards: int = 1, max_gt: int = MAX_GT):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.training = training
+        self.min_sizes = tuple(min_sizes)
+        self.max_size = max_size
+        self.buckets = tuple(buckets)
+        self.hflip_prob = hflip_prob if training else 0.0
+        self.seed = seed
+        self.epoch = 0
+        self.num_workers = num_workers
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.max_gt = max_gt
+
+    def set_epoch(self, epoch: int) -> None:
+        """Distributed-shuffle seed bump (DistributedSampler.set_epoch
+        analog, reference src/mimic_runner.py:83-84)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        if self.training:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _prepare(self, index: int, rng: random.Random):
+        img, target = self.dataset[index]
+        oh, ow = img.shape[:2]
+        if self.training and rng.random() < self.hflip_prob:
+            img, target = T.hflip(img, target)
+        min_size = (rng.choice(self.min_sizes) if self.training
+                    else self.min_sizes[-1])
+        img, target, _ = T.resize(img, target, min_size, self.max_size)
+        target["original_size"] = (oh, ow)
+        return img, target
+
+    def _order(self) -> List[int]:
+        idx = list(range(len(self.dataset)))
+        if self.training:
+            rng = random.Random(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_index::self.num_shards]
+        return idx
+
+    def __iter__(self) -> Iterator[Tuple[Dict, Dict, List[Dict]]]:
+        order = self._order()
+        rng = random.Random((self.seed + 1) * 7919 + self.epoch)
+        pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
+        try:
+            prepared = pool.map(lambda i: self._prepare(i, rng), order)
+            # group into same-bucket batches (aspect-ratio grouping)
+            pending: Dict[Tuple[int, int], List] = {}
+            for img, target in prepared:
+                bucket = T.pick_bucket(img.shape[0], img.shape[1], self.buckets)
+                pending.setdefault(bucket, []).append((img, target))
+                if len(pending[bucket]) == self.batch_size:
+                    yield self._emit(bucket, pending.pop(bucket))
+            # flush remainders: pad batch by repeating the last image so
+            # shapes stay static (extra rows carry valid=False targets and
+            # are dropped from eval by image_id bookkeeping)
+            for bucket, items in pending.items():
+                if not items:
+                    continue
+                n_real = len(items)
+                while len(items) < self.batch_size:
+                    im, tg = items[-1]
+                    items.append((im, dict(tg)))  # fresh dict: padding flag
+                yield self._emit(bucket, items, n_real)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    def _emit(self, bucket, items, n_real: Optional[int] = None):
+        imgs = np.stack([T.pad_to(im, bucket) for im, _ in items], axis=0)
+        imgs = imgs.astype(np.float32) / 255.0
+        sizes = np.asarray([[im.shape[0], im.shape[1]] for im, _ in items],
+                           np.int32)
+        orig = np.asarray([t["original_size"] for _, t in items], np.int32)
+        batch = {"images": imgs, "image_sizes": sizes, "original_sizes": orig}
+        host_targets = [t for _, t in items]
+        for k, t in enumerate(host_targets):
+            t["is_padding"] = n_real is not None and k >= n_real
+        tgt = _pad_targets(host_targets, self.max_gt)
+        return batch, tgt, host_targets
+
+
+def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
+                          with_masks: bool = False,
+                          with_keypoints: bool = False,
+                          min_sizes: Sequence[int] = (800,),
+                          buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
+                          shard_index: int = 0, num_shards: int = 1):
+    """Build (train, val, test) loaders from the reference dataset YAML block
+    (src/utils/data_util.py:18-48).  val/test use batch_size=1 like the
+    reference (data_util.py:44-47)."""
+    splits = dataset_config["splits"]
+    num_workers = int(dataset_config.get("num_workers", 4))
+    out = []
+    for name in ("train", "val", "test"):
+        cfg = splits[name]
+        ds = CocoDataset(
+            cfg["images"], cfg["annotations"],
+            remove_non_annotated=bool(cfg.get("remove_non_annotated_imgs")),
+            jpeg_quality=cfg.get("jpeg_quality"),
+            with_masks=with_masks, with_keypoints=with_keypoints)
+        training = name == "train"
+        out.append(DetectionLoader(
+            ds, batch_size if training else 1, training=training,
+            min_sizes=min_sizes, buckets=buckets, num_workers=num_workers,
+            shard_index=shard_index if training else 0,
+            num_shards=num_shards if training else 1))
+    return tuple(out)
