@@ -1,0 +1,397 @@
+"""COCO-style evaluation (bbox / segm / keypoints) — self-contained.
+
+Replaces the reference's evaluator stack (src/utils/coco_eval_util.py:
+CocoEvaluator + patched pycocotools COCOeval) in an environment where
+pycocotools does not exist.  The algorithm below reimplements the published
+COCOeval semantics exactly:
+
+  * IoU thresholds 0.50:0.05:0.95, 101-point interpolated precision,
+    areas all/small/medium/large, maxDets (1, 10, 100);
+  * greedy per-image matching in descending score order, each detection to
+    the best still-unmatched GT (ties keep earlier GT), crowd GTs matchable
+    many times with intersection-over-det-area IoU;
+  * ignore semantics: GTs outside the area range are ignored, detections
+    matched to ignored GTs are ignored, unmatched detections outside the
+    area range are ignored in accumulate;
+  * keypoints use OKS with the standard 17 sigmas and maxDets (20,).
+
+The host-side mask/keypoint postprocessing (paste_masks, heatmap decode)
+lives in evals/postprocess.py; this module consumes final predictions.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hnd_ghnd_tpu.data.coco import CocoDataset, ann_to_mask
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNG = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+KP_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+def bbox_iou_matrix(dets: np.ndarray, gts: np.ndarray,
+                    iscrowd: np.ndarray) -> np.ndarray:
+    """IoU of det xywh vs gt xywh; crowd gt -> intersection / det area."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)))
+    dx1, dy1 = dets[:, 0], dets[:, 1]
+    dx2, dy2 = dets[:, 0] + dets[:, 2], dets[:, 1] + dets[:, 3]
+    gx1, gy1 = gts[:, 0], gts[:, 1]
+    gx2, gy2 = gts[:, 0] + gts[:, 2], gts[:, 1] + gts[:, 3]
+    iw = np.clip(np.minimum(dx2[:, None], gx2[None]) -
+                 np.maximum(dx1[:, None], gx1[None]), 0, None)
+    ih = np.clip(np.minimum(dy2[:, None], gy2[None]) -
+                 np.maximum(dy1[:, None], gy1[None]), 0, None)
+    inter = iw * ih
+    da = (dets[:, 2] * dets[:, 3])[:, None]
+    ga = (gts[:, 2] * gts[:, 3])[None]
+    union = np.where(iscrowd[None].astype(bool), da, da + ga - inter)
+    out = np.zeros_like(inter)
+    np.divide(inter, union, out=out, where=union > 0)
+    return out
+
+
+def mask_iou_matrix(det_masks: List[np.ndarray], gt_masks: List[np.ndarray],
+                    iscrowd: np.ndarray) -> np.ndarray:
+    """IoU between binary masks (full-image uint8)."""
+    if len(det_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(det_masks), len(gt_masks)))
+    d = np.stack([m.reshape(-1).astype(bool) for m in det_masks])
+    g = np.stack([m.reshape(-1).astype(bool) for m in gt_masks])
+    inter = (d[:, None, :] & g[None, :, :]).sum(-1).astype(np.float64)
+    da = d.sum(-1)[:, None].astype(np.float64)
+    ga = g.sum(-1)[None].astype(np.float64)
+    union = np.where(iscrowd[None].astype(bool), da, da + ga - inter)
+    out = np.zeros_like(inter)
+    np.divide(inter, union, out=out, where=union > 0)
+    return out
+
+
+def oks_matrix(det_kps: np.ndarray, gts: List[dict]) -> np.ndarray:
+    """Object Keypoint Similarity, pycocotools computeOks semantics."""
+    if len(det_kps) == 0 or len(gts) == 0:
+        return np.zeros((len(det_kps), len(gts)))
+    vars_ = (KP_SIGMAS * 2) ** 2
+    out = np.zeros((len(det_kps), len(gts)))
+    for j, gt in enumerate(gts):
+        g = np.asarray(gt["keypoints"], dtype=np.float64).reshape(-1, 3)
+        xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+        k1 = (vg > 0).sum()
+        bb = gt["bbox"]
+        x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
+        y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
+        for i, d in enumerate(det_kps):
+            xd, yd = d[:, 0], d[:, 1]
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                z = np.zeros_like(xd)
+                dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+            e = (dx ** 2 + dy ** 2) / vars_ / (gt["area"] + np.spacing(1)) / 2
+            if k1 > 0:
+                e = e[vg > 0]
+            out[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+    return out
+
+
+class COCOEvalNP:
+    """Pure-numpy COCOeval: evaluate -> accumulate -> summarize."""
+
+    def __init__(self, iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm", "keypoints")
+        self.iou_type = iou_type
+        self.max_dets = (20,) if iou_type == "keypoints" else (1, 10, 100)
+        if iou_type == "keypoints":
+            self.area_labels = ("all", "medium", "large")
+        else:
+            self.area_labels = ("all", "small", "medium", "large")
+        # per (image, category): detections and ground truths
+        self.gts: Dict[Tuple[int, int], List[dict]] = defaultdict(list)
+        self.dts: Dict[Tuple[int, int], List[dict]] = defaultdict(list)
+        self.img_ids: set = set()
+        self.cat_ids: set = set()
+
+    # ------------------------------------------------------------- feeding
+    def add_gt_annotations(self, anns: Sequence[dict], image_id: int) -> None:
+        self.img_ids.add(image_id)
+        for ann in anns:
+            self.cat_ids.add(ann["category_id"])
+            self.gts[(image_id, ann["category_id"])].append(ann)
+
+    def add_detections(self, dets: Sequence[dict], image_id: int) -> None:
+        self.img_ids.add(image_id)
+        for d in dets:
+            self.dts[(image_id, d["category_id"])].append(d)
+
+    # ------------------------------------------------------------ evaluate
+    def _iou(self, img_id: int, cat_id: int):
+        gts = self.gts.get((img_id, cat_id), [])
+        dts = sorted(self.dts.get((img_id, cat_id), []),
+                     key=lambda d: -d["score"])[:self.max_dets[-1]]
+        if not gts or not dts:
+            return np.zeros((len(dts), len(gts))), dts, gts
+        iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts])
+        if self.iou_type == "bbox":
+            d = np.asarray([dt["bbox"] for dt in dts], dtype=np.float64)
+            g = np.asarray([gt["bbox"] for gt in gts], dtype=np.float64)
+            ious = bbox_iou_matrix(d, g, iscrowd)
+        elif self.iou_type == "segm":
+            ious = mask_iou_matrix([dt["mask"] for dt in dts],
+                                   [gt["mask"] for gt in gts], iscrowd)
+        else:
+            d = np.asarray([np.asarray(dt["keypoints"]).reshape(-1, 3)
+                            for dt in dts])
+            ious = oks_matrix(d, gts)
+        return ious, dts, gts
+
+    def _evaluate_img(self, img_id, cat_id, area_rng, ious, dts, gts):
+        if not gts and not dts:
+            return None
+        lo, hi = area_rng
+        g_ignore = np.asarray([
+            bool(g.get("ignore")) or g.get("iscrowd", 0) == 1
+            or g["area"] < lo or g["area"] > hi for g in gts])
+        # sort gts: non-ignored first (stable), pycocotools gtind order
+        g_order = np.argsort(g_ignore, kind="mergesort")
+        gts_sorted = [gts[i] for i in g_order]
+        g_ignore = g_ignore[g_order]
+        n_thr = len(IOU_THRS)
+        n_g = len(gts_sorted)
+        n_d = len(dts)
+        gt_match = np.zeros((n_thr, n_g), dtype=np.int64)
+        dt_match = np.zeros((n_thr, n_d), dtype=np.int64)
+        dt_ignore = np.zeros((n_thr, n_d), dtype=bool)
+        if n_g and n_d:
+            ious_s = ious[:, g_order]
+            for t_i, thr in enumerate(IOU_THRS):
+                for d_i in range(n_d):
+                    best = min(thr, 1 - 1e-10)
+                    m = -1
+                    for g_i in range(n_g):
+                        if gt_match[t_i, g_i] > 0 and not g_ignore[g_i]:
+                            continue  # gt already matched (crowd rematchable)
+                        if m > -1 and not g_ignore[m] and g_ignore[g_i]:
+                            break  # can't fall back to ignored gt past best
+                        if ious_s[d_i, g_i] < best:
+                            continue
+                        best = ious_s[d_i, g_i]
+                        m = g_i
+                    if m == -1:
+                        continue
+                    dt_ignore[t_i, d_i] = g_ignore[m]
+                    dt_match[t_i, d_i] = gts_sorted[m].get("id", m + 1)
+                    gt_match[t_i, m] = dts[d_i].get("id", d_i + 1)
+        # unmatched dets outside the area range are ignored
+        d_areas = np.asarray([d["area"] for d in dts]) if n_d else np.zeros(0)
+        d_out = (d_areas < lo) | (d_areas > hi)
+        dt_ignore = dt_ignore | (np.logical_and(dt_match == 0, d_out[None]))
+        return {
+            "dt_scores": np.asarray([d["score"] for d in dts]),
+            "dt_match": dt_match,
+            "dt_ignore": dt_ignore,
+            "gt_ignore": g_ignore,
+        }
+
+    # ----------------------------------------------------------- accumulate
+    def accumulate(self):
+        img_ids = sorted(self.img_ids)
+        cat_ids = sorted(self.cat_ids) or [1]
+        n_thr, n_rec = len(IOU_THRS), len(REC_THRS)
+        n_cat, n_area, n_md = len(cat_ids), len(self.area_labels), len(self.max_dets)
+        precision = -np.ones((n_thr, n_rec, n_cat, n_area, n_md))
+        recall = -np.ones((n_thr, n_cat, n_area, n_md))
+        scores = -np.ones((n_thr, n_rec, n_cat, n_area, n_md))
+
+        for c_i, cat in enumerate(cat_ids):
+            per_img = {img: self._iou(img, cat) for img in img_ids}
+            for a_i, a_lbl in enumerate(self.area_labels):
+                rng = AREA_RNG[a_lbl]
+                evals = [self._evaluate_img(img, cat, rng, *per_img[img])
+                         for img in img_ids]
+                evals = [e for e in evals if e is not None]
+                if not evals:
+                    continue
+                for m_i, max_det in enumerate(self.max_dets):
+                    sc = np.concatenate([e["dt_scores"][:max_det] for e in evals])
+                    order = np.argsort(-sc, kind="mergesort")
+                    sc = sc[order]
+                    dtm = np.concatenate(
+                        [e["dt_match"][:, :max_det] for e in evals], axis=1)[:, order]
+                    dti = np.concatenate(
+                        [e["dt_ignore"][:, :max_det] for e in evals], axis=1)[:, order]
+                    n_gt = sum((~e["gt_ignore"]).sum() for e in evals)
+                    if n_gt == 0:
+                        continue
+                    tps = (dtm > 0) & ~dti
+                    fps = (dtm == 0) & ~dti
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for t_i in range(n_thr):
+                        tp, fp = tp_sum[t_i], fp_sum[t_i]
+                        rc = tp / n_gt
+                        pr = tp / np.maximum(tp + fp, np.spacing(1))
+                        recall[t_i, c_i, a_i, m_i] = rc[-1] if len(rc) else 0
+                        # precision envelope (monotone non-increasing)
+                        pr = pr.tolist()
+                        for k in range(len(pr) - 1, 0, -1):
+                            pr[k - 1] = max(pr[k - 1], pr[k])
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        q = np.zeros(n_rec)
+                        s = np.zeros(n_rec)
+                        for r_i, p_i in enumerate(inds):
+                            if p_i < len(pr):
+                                q[r_i] = pr[p_i]
+                                s[r_i] = sc[p_i]
+                        precision[t_i, :, c_i, a_i, m_i] = q
+                        scores[t_i, :, c_i, a_i, m_i] = s
+        self.precision = precision
+        self.recall = recall
+        self.eval_scores = scores
+        return self
+
+    # ------------------------------------------------------------ summarize
+    def _summ(self, ap: bool, iou_thr: Optional[float] = None,
+              area: str = "all", max_det: int = 100) -> float:
+        a_i = self.area_labels.index(area)
+        m_i = self.max_dets.index(max_det)
+        if ap:
+            s = self.precision
+            if iou_thr is not None:
+                s = s[[np.argmin(np.abs(IOU_THRS - iou_thr))]]
+            s = s[:, :, :, a_i, m_i]
+        else:
+            s = self.recall
+            if iou_thr is not None:
+                s = s[[np.argmin(np.abs(IOU_THRS - iou_thr))]]
+            s = s[:, :, a_i, m_i]
+        valid = s[s > -1]
+        return float(valid.mean()) if valid.size else -1.0
+
+    def summarize(self) -> np.ndarray:
+        md = self.max_dets[-1]
+        if self.iou_type == "keypoints":
+            stats = [
+                self._summ(True, None, "all", md),
+                self._summ(True, 0.5, "all", md),
+                self._summ(True, 0.75, "all", md),
+                self._summ(True, None, "medium", md),
+                self._summ(True, None, "large", md),
+                self._summ(False, None, "all", md),
+                self._summ(False, 0.5, "all", md),
+                self._summ(False, 0.75, "all", md),
+                self._summ(False, None, "medium", md),
+                self._summ(False, None, "large", md),
+            ]
+        else:
+            stats = [
+                self._summ(True, None, "all", md),
+                self._summ(True, 0.5, "all", md),
+                self._summ(True, 0.75, "all", md),
+                self._summ(True, None, "small", md),
+                self._summ(True, None, "medium", md),
+                self._summ(True, None, "large", md),
+                self._summ(False, None, "all", self.max_dets[0]),
+                self._summ(False, None, "all",
+                           self.max_dets[min(1, len(self.max_dets) - 1)]),
+                self._summ(False, None, "all", md),
+                self._summ(False, None, "small", md),
+                self._summ(False, None, "medium", md),
+                self._summ(False, None, "large", md),
+            ]
+        self.stats = np.asarray(stats)
+        return self.stats
+
+
+class CocoEvaluator:
+    """Streaming evaluator fed per-image predictions (the reference's
+    CocoEvaluator.update / synchronize / accumulate / summarize protocol,
+    src/utils/coco_eval_util.py:15-150)."""
+
+    def __init__(self, dataset: CocoDataset, iou_types: Sequence[str]):
+        self.dataset = dataset
+        self.iou_types = list(iou_types)
+        self.evals = {t: COCOEvalNP(t) for t in self.iou_types}
+        self._gt_loaded: set = set()
+
+    def _ensure_gt(self, image_id: int) -> None:
+        if image_id in self._gt_loaded:
+            return
+        self._gt_loaded.add(image_id)
+        anns = self.dataset.anns_by_img.get(image_id, [])
+        info = self.dataset.images[image_id]
+        for t, ev in self.evals.items():
+            gt_list = []
+            for ann in anns:
+                g = {"id": ann["id"], "category_id": ann["category_id"],
+                     "bbox": list(ann["bbox"]), "area": ann["area"],
+                     "iscrowd": ann.get("iscrowd", 0)}
+                if t == "segm":
+                    g["mask"] = ann_to_mask(ann, info["height"], info["width"])
+                    # segm eval measures mask area
+                    g["area"] = float(g["mask"].sum()) if "segmentation" in ann \
+                        else ann["area"]
+                if t == "keypoints":
+                    if "keypoints" not in ann:
+                        continue
+                    g["keypoints"] = ann["keypoints"]
+                    g["ignore"] = ann.get("num_keypoints", 0) == 0
+                gt_list.append(g)
+            ev.add_gt_annotations(gt_list, image_id)
+
+    def update(self, predictions: Dict[int, Dict[str, np.ndarray]]) -> None:
+        """predictions: {image_id: {'boxes' xyxy original coords, 'scores',
+        'labels', optional 'masks' [N, H, W] uint8, 'keypoints' [N, 17, 3]}}"""
+        for image_id, pred in predictions.items():
+            self._ensure_gt(image_id)
+            boxes = np.asarray(pred["boxes"], dtype=np.float64).reshape(-1, 4)
+            xywh = boxes.copy()
+            xywh[:, 2:] -= xywh[:, :2]
+            scores = np.asarray(pred["scores"], dtype=np.float64)
+            labels = np.asarray(pred["labels"], dtype=np.int64)
+            for t, ev in self.evals.items():
+                dets = []
+                for i in range(len(boxes)):
+                    d = {"id": i + 1, "category_id": int(labels[i]),
+                         "bbox": xywh[i].tolist(), "score": float(scores[i]),
+                         "area": float(xywh[i, 2] * xywh[i, 3])}
+                    if t == "segm":
+                        d["mask"] = np.asarray(pred["masks"][i], dtype=np.uint8)
+                        d["area"] = float(d["mask"].sum())
+                    if t == "keypoints":
+                        d["keypoints"] = np.asarray(
+                            pred["keypoints"][i]).reshape(-1).tolist()
+                    dets.append(d)
+                ev.add_detections(dets, image_id)
+
+    def synchronize_between_processes(self) -> None:
+        """Multi-host merge point.  Single-controller JAX keeps all
+        predictions on host 0, so this is a no-op unless running
+        multi-process, where per-host evaluators should be merged by the
+        caller via jax.experimental.multihost_utils."""
+
+    def accumulate(self) -> None:
+        for ev in self.evals.values():
+            ev.accumulate()
+
+    def summarize(self) -> Dict[str, np.ndarray]:
+        out = {}
+        for t, ev in self.evals.items():
+            out[t] = ev.summarize()
+            print(f"IoU metric: {t}")
+            print(f"  mAP @[.5:.95]: {out[t][0]:.4f}  "
+                  f"mAP@.5: {out[t][1]:.4f}  mAP@.75: {out[t][2]:.4f}")
+        self.stats = out
+        return out

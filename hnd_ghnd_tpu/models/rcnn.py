@@ -182,6 +182,7 @@ class RCNN:
         sy = scale[:, 0][:, None]
         sx = scale[:, 1][:, None]
         b = dets["boxes"]
+        dets["boxes_model"] = b  # padded-batch coords, for host kp decode
         dets["boxes"] = jnp.stack(
             [b[..., 0] * sx, b[..., 1] * sy, b[..., 2] * sx, b[..., 3] * sy],
             axis=-1)

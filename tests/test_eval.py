@@ -1,0 +1,185 @@
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.data.coco import CocoDataset
+from hnd_ghnd_tpu.evals.coco_eval import (COCOEvalNP, CocoEvaluator,
+                                          bbox_iou_matrix, oks_matrix)
+from hnd_ghnd_tpu.evals.postprocess import paste_masks, heatmaps_to_keypoints
+
+from tests.fixtures import make_coco_fixture
+
+
+def gt(ann_id, cat, x, y, w, h, crowd=0):
+    return {"id": ann_id, "category_id": cat, "bbox": [x, y, w, h],
+            "area": w * h, "iscrowd": crowd}
+
+
+def det(cat, x, y, w, h, score):
+    return {"category_id": cat, "bbox": [x, y, w, h], "score": score,
+            "area": w * h}
+
+
+class TestCOCOEvalBBox:
+    def test_perfect_predictions(self):
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 10, 10, 40, 40),
+                               gt(2, 2, 5, 5, 20, 20)], image_id=1)
+        ev.add_detections([det(1, 10, 10, 40, 40, 0.9),
+                           det(2, 5, 5, 20, 20, 0.8)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[0] == pytest.approx(1.0)  # mAP
+        assert stats[8] == pytest.approx(1.0)  # AR@100
+
+    def test_partial_iou_threshold_sweep(self):
+        # det iou vs gt = 0.625 -> matches thresholds .5, .55, .6 only
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 100, 100)], image_id=1)
+        # overlap: det [0,0,100,62.5] vs gt [0,0,100,100]: inter=6250,
+        # union=10000 -> iou = 0.625
+        ev.add_detections([det(1, 0, 0, 100, 62.5, 0.9)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[1] == pytest.approx(1.0)      # AP@.5
+        assert stats[2] == pytest.approx(0.0)      # AP@.75
+        assert stats[0] == pytest.approx(0.3)      # 3 of 10 thresholds
+
+    def test_missed_gt_halves_recall(self):
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 10, 10),
+                               gt(2, 1, 50, 50, 10, 10)], image_id=1)
+        ev.add_detections([det(1, 0, 0, 10, 10, 0.9)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[8] == pytest.approx(0.5)            # AR
+        assert stats[0] == pytest.approx(51 / 101)       # 101-pt AP
+
+    def test_low_scored_fp_does_not_hurt_ap(self):
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 10, 10)], image_id=1)
+        ev.add_detections([det(1, 0, 0, 10, 10, 0.9),
+                           det(1, 80, 80, 10, 10, 0.1)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[0] == pytest.approx(1.0)
+
+    def test_high_scored_fp_kills_early_precision(self):
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 10, 10)], image_id=1)
+        ev.add_detections([det(1, 0, 0, 10, 10, 0.5),
+                           det(1, 80, 80, 10, 10, 0.9)], image_id=1)
+        stats = ev.accumulate().summarize()
+        # precision at every recall point: 1 tp after 1 fp -> 0.5
+        assert stats[0] == pytest.approx(0.5)
+
+    def test_crowd_gt_absorbs_matches_without_counting(self):
+        ev = COCOEvalNP("bbox")
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 100, 100, crowd=1),
+                               gt(2, 1, 200, 200, 10, 10)], image_id=1)
+        # detection inside the crowd region: matched to crowd -> ignored
+        ev.add_detections([det(1, 10, 10, 30, 30, 0.9),
+                           det(1, 200, 200, 10, 10, 0.8)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[0] == pytest.approx(1.0)  # crowd det not a FP
+        assert stats[8] == pytest.approx(1.0)  # only non-crowd gt counts
+
+    def test_crowd_iou_is_intersection_over_det_area(self):
+        d = np.asarray([[10.0, 10, 20, 20]])
+        g = np.asarray([[0.0, 0, 100, 100]])
+        iou = bbox_iou_matrix(d, g, np.asarray([1]))
+        assert iou[0, 0] == pytest.approx(1.0)
+        iou2 = bbox_iou_matrix(d, g, np.asarray([0]))
+        assert iou2[0, 0] == pytest.approx(400 / 10000)
+
+    def test_area_ranges(self):
+        ev = COCOEvalNP("bbox")
+        # small gt (16x16=256 < 1024)
+        ev.add_gt_annotations([gt(1, 1, 0, 0, 16, 16)], image_id=1)
+        ev.add_detections([det(1, 0, 0, 16, 16, 0.9)], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[3] == pytest.approx(1.0)   # AP small
+        assert stats[5] == pytest.approx(-1.0)  # AP large: no gts
+
+
+class TestCOCOEvalKeypoints:
+    def test_perfect_oks(self):
+        kp = []
+        rng = np.random.RandomState(0)
+        for i in range(17):
+            kp.extend([float(10 + i * 3), float(20 + i * 2), 2])
+        g = {"id": 1, "category_id": 1, "bbox": [5, 15, 60, 40],
+             "area": 2400.0, "iscrowd": 0, "keypoints": kp,
+             "num_keypoints": 17}
+        ev = COCOEvalNP("keypoints")
+        ev.add_gt_annotations([g], image_id=1)
+        ev.add_detections([{"id": 1, "category_id": 1, "score": 0.9,
+                            "bbox": [5, 15, 60, 40], "area": 2400.0,
+                            "keypoints": kp}], image_id=1)
+        stats = ev.accumulate().summarize()
+        assert stats[0] == pytest.approx(1.0)
+
+    def test_oks_decays_with_distance(self):
+        kp = np.zeros((17, 3))
+        kp[:, 0] = 50
+        kp[:, 1] = 50
+        kp[:, 2] = 2
+        g = {"keypoints": kp.reshape(-1).tolist(), "bbox": [40, 40, 20, 20],
+             "area": 400.0}
+        d_same = kp.copy()
+        d_far = kp.copy()
+        d_far[:, 0] += 50
+        m = oks_matrix(np.stack([d_same, d_far]), [g])
+        assert m[0, 0] == pytest.approx(1.0)
+        assert m[1, 0] < 0.1
+
+
+class TestEndToEnd:
+    def test_gt_as_predictions_gives_map_1(self, tmp_path):
+        img_dir, ann_file = make_coco_fixture(str(tmp_path), num_images=6,
+                                              seed=3)
+        ds = CocoDataset(img_dir, ann_file)
+        evaluator = CocoEvaluator(ds, ["bbox"])
+        for i in range(len(ds)):
+            _, tgt = ds[i]
+            evaluator.update({tgt["image_id"]: {
+                "boxes": tgt["boxes"],
+                "scores": np.ones(len(tgt["boxes"])) * 0.9,
+                "labels": tgt["labels"],
+            }})
+        evaluator.accumulate()
+        stats = evaluator.summarize()
+        assert stats["bbox"][0] == pytest.approx(1.0)
+
+    def test_segm_gt_as_predictions(self, tmp_path):
+        img_dir, ann_file = make_coco_fixture(str(tmp_path), num_images=4,
+                                              seed=4)
+        ds = CocoDataset(img_dir, ann_file, with_masks=True)
+        evaluator = CocoEvaluator(ds, ["bbox", "segm"])
+        for i in range(len(ds)):
+            _, tgt = ds[i]
+            evaluator.update({tgt["image_id"]: {
+                "boxes": tgt["boxes"],
+                "scores": np.ones(len(tgt["boxes"])) * 0.9,
+                "labels": tgt["labels"],
+                "masks": tgt["masks"],
+            }})
+        evaluator.accumulate()
+        stats = evaluator.summarize()
+        assert stats["segm"][0] == pytest.approx(1.0)
+        assert stats["bbox"][0] == pytest.approx(1.0)
+
+
+class TestPostprocess:
+    def test_paste_masks_roughly_fills_box(self):
+        probs = np.ones((1, 28, 28), dtype=np.float32)
+        out = paste_masks(probs, np.asarray([[10.0, 20.0, 50.0, 60.0]]),
+                          100, 100)
+        assert out.shape == (1, 100, 100)
+        inside = out[0, 25:55, 15:45]
+        assert inside.mean() > 0.95
+        assert out[0, :15, :].sum() == 0
+
+    def test_heatmap_argmax_maps_to_box_coords(self):
+        hm = np.full((1, 56, 56, 17), -5.0, dtype=np.float32)
+        hm[0, 28, 14, :] = 10.0  # peak at (y=28, x=14) of 56 -> rel (.5, .25)
+        boxes = np.asarray([[100.0, 200.0, 212.0, 312.0]])  # 112x112 box
+        kps, scores = heatmaps_to_keypoints(hm, boxes, (1.0, 1.0))
+        assert kps[0, 0, 0] == pytest.approx(100 + 0.25 * 112, abs=2.0)
+        assert kps[0, 0, 1] == pytest.approx(200 + 0.5 * 112, abs=2.0)
+        assert (scores[0] > 0).all()
