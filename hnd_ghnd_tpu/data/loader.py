@@ -141,6 +141,7 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
                           with_masks: bool = False,
                           with_keypoints: bool = False,
                           min_sizes: Sequence[int] = (800,),
+                          max_size: int = 1333,
                           buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
                           shard_index: int = 0, num_shards: int = 1):
     """Build (train, val, test) loaders from the reference dataset YAML block
@@ -159,7 +160,8 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
         training = name == "train"
         out.append(DetectionLoader(
             ds, batch_size if training else 1, training=training,
-            min_sizes=min_sizes, buckets=buckets, num_workers=num_workers,
+            min_sizes=min_sizes, max_size=max_size, buckets=buckets,
+            num_workers=num_workers,
             shard_index=shard_index if training else 0,
             num_shards=num_shards if training else 1))
     return tuple(out)

@@ -163,7 +163,7 @@ class COCOEvalNP:
         lo, hi = area_rng
         g_ignore = np.asarray([
             bool(g.get("ignore")) or g.get("iscrowd", 0) == 1
-            or g["area"] < lo or g["area"] > hi for g in gts])
+            or g["area"] < lo or g["area"] > hi for g in gts], dtype=bool)
         # sort gts: non-ignored first (stable), pycocotools gtind order
         g_order = np.argsort(g_ignore, kind="mergesort")
         gts_sorted = [gts[i] for i in g_order]

@@ -40,6 +40,18 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence[jax.Device]] = None,
+                        axis_name: str = "data") -> Mesh:
+    """Largest device count that divides the global batch (a 4-image batch on
+    an 8-device host uses 4 devices; DDP would just crash)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n], axis_name)
+
+
 def shard_batch_spec(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -1,0 +1,123 @@
+"""Supervised detector training entry point (produces 'org' teachers).
+
+Parity surface: src/coco_runner.py — config-driven detector training with
+loss = sum of the R-CNN loss dict, per-epoch eval, best-mAP checkpointing,
+NaN-loss abort (:51-54).  The reference's double lr_scheduler.step() per
+epoch (:84, :94) is a quirk we do NOT reproduce: milestones advance once
+per epoch here.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnd_ghnd_tpu.core.config import load_config, overwrite_config
+from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
+                                        make_mesh_for_batch,
+                                        make_detection_train_step, put_batch,
+                                        replicate)
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+from hnd_ghnd_tpu.utils.logging import MetricLogger
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="COCO detector trainer")
+    common.add_common_args(parser)
+    parser.add_argument("-train", action="store_true")
+    parser.add_argument("-test_only", action="store_true")
+    return parser
+
+
+def train(model, params, state, config, args, mesh):
+    train_cfg = config["train"]
+    model_cfg = config["model"]
+    min_sizes = common.keypoint_min_sizes(model.kind, True)
+    train_loader, val_loader, _ = common.loaders_from_config(
+        config, model.kind, int(train_cfg["batch_size"]),
+        min_sizes=min_sizes)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    warmup = min(1000, steps_per_epoch - 1)
+    optimizer, _ = build_optimizer(train_cfg["optimizer"],
+                                   train_cfg.get("scheduler"),
+                                   steps_per_epoch, warmup)
+    frozen = model_cfg.get("frozen_modules", [])
+    if (model_cfg["backbone"].get("params", {}) or {}).get("freeze_layers"):
+        # reference freeze_layers: everything in the trunk except layer2-4
+        # (src/models/org/rcnn.py:399-404)
+        frozen = list(frozen) + ["backbone.body.conv1", "backbone.body.bn1",
+                                 "backbone.body.layer1"]
+    step = make_detection_train_step(model, optimizer, frozen, mesh=mesh)
+
+    opt_state = optimizer.init(params)
+    best_val_map = 0.0
+    ckpt_path = model_cfg.get("ckpt")
+    if ckpt_util.check_if_exists(ckpt_path):
+        payload = ckpt_util.load_ckpt(ckpt_path)
+        params = payload["params"]
+        state = payload["state"] or state
+        best_val_map = payload.get("best_value", 0.0)
+        print(f"resumed from {ckpt_path}")
+
+    params, state, opt_state = (replicate(x, mesh)
+                                for x in (params, state, opt_state))
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(int(train_cfg["num_epochs"])):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        for batch, targets, _ in logger.log_every(
+                train_loader, int(train_cfg.get("log_freq", 1000)),
+                f"Epoch: [{epoch}]"):
+            rng, key = jax.random.split(rng)
+            loss, loss_dict, params, state, opt_state = step(
+                params, state, opt_state,
+                put_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh),
+                put_batch({k: jnp.asarray(v) for k, v in targets.items()}, mesh),
+                key)
+            loss_val = float(loss)
+            if not math.isfinite(loss_val):
+                # NaN-loss hard abort (reference coco_runner.py:51-54)
+                print(f"Loss is {loss_val}, stopping training")
+                print({k: float(v) for k, v in loss_dict.items()})
+                sys.exit(1)
+            logger.update(loss=loss_val,
+                          **{k: float(v) for k, v in loss_dict.items()})
+
+        coco_evaluator = common.evaluate(model, params, state, val_loader)
+        val_map = float(coco_evaluator.stats["bbox"][0])
+        if val_map > best_val_map and ckpt_path:
+            best_val_map = val_map
+            ckpt_util.save_ckpt(ckpt_path, params=params, state=state,
+                                opt_state=opt_state, best_value=best_val_map,
+                                config=config, args=vars(args))
+    return params, state
+
+
+def main(args):
+    config = overwrite_config(load_config(args.config), args.json)
+    devices = jax.devices()
+    if args.world_size:
+        devices = devices[:args.world_size]
+    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
+
+    model, params, state = get_model(config["model"], seed=args.seed)
+    if args.train:
+        params, state = train(model, params, state, config, args, mesh)
+    elif ckpt_util.check_if_exists(config["model"].get("ckpt")):
+        payload = ckpt_util.load_ckpt(config["model"]["ckpt"])
+        params = payload["params"]
+        state = payload["state"] or state
+
+    _, _, test_loader = common.loaders_from_config(config, model.kind, 1)
+    common.evaluate(model, params, state, test_loader)
+
+
+if __name__ == "__main__":
+    main(get_argparser().parse_args())

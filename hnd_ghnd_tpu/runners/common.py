@@ -1,0 +1,120 @@
+"""Shared runner machinery: per-bucket jit cache, the COCO eval loop,
+argparser plumbing common to all entry points.
+
+Parity surface: src/utils/main_util.py evaluate (:75-113) — one pass over
+the val/test loader, streaming CocoEvaluator updates, model/evaluator
+timing — and the shared --config/--json/--device CLI surface
+(src/mimic_runner.py:17-29 etc.).  Distributed flags (--world_size,
+--dist_url) map onto the mesh size rather than process-group init.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from hnd_ghnd_tpu.data.loader import DetectionLoader
+from hnd_ghnd_tpu.evals.coco_eval import CocoEvaluator
+from hnd_ghnd_tpu.evals.postprocess import finalize_predictions
+from hnd_ghnd_tpu.models.factory import get_iou_types
+from hnd_ghnd_tpu.utils.logging import MetricLogger
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--config", required=True, help="yaml config path")
+    parser.add_argument("--json", default=None,
+                        help="JSON string merged over the config")
+    parser.add_argument("--device", default=None,
+                        help="ignored (jax selects the backend); kept for "
+                             "reference CLI compatibility")
+    parser.add_argument("--world_size", type=int, default=None,
+                        help="number of mesh devices (default: all)")
+    parser.add_argument("--dist_url", default=None,
+                        help="ignored (no process-group rendezvous in "
+                             "single-controller JAX); reference CLI compat")
+    parser.add_argument("--seed", type=int, default=0)
+
+
+class JitCache:
+    """One compiled forward per (bucket shape, flag tuple)."""
+
+    def __init__(self, model):
+        self.model = model
+        self._cache: Dict[Any, Any] = {}
+
+    def eval_forward(self, shape, use_bottleneck_transformer: bool):
+        key = ("eval", shape, use_bottleneck_transformer)
+        if key not in self._cache:
+            model = self.model
+
+            @jax.jit
+            def fwd(params, state, batch):
+                dets, _, _ = model.forward(
+                    params, state, batch, training=False,
+                    use_bottleneck_transformer=use_bottleneck_transformer)
+                return dets
+
+            self._cache[key] = fwd
+        return self._cache[key]
+
+
+def evaluate(model, params, state, loader: DetectionLoader,
+             use_bottleneck_transformer: bool = False,
+             log_freq: int = 100) -> CocoEvaluator:
+    """COCO evaluation pass. Returns the summarized CocoEvaluator."""
+    evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
+    jits = JitCache(model)
+    logger = MetricLogger()
+    for batch, _, host_targets in logger.log_every(loader, log_freq, "Eval:"):
+        shape = batch["images"].shape
+        fwd = jits.eval_forward(shape, use_bottleneck_transformer)
+        t0 = time.time()
+        dets = fwd(params, state,
+                   {k: jax.numpy.asarray(v) for k, v in batch.items()})
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        model_time = time.time() - t0
+        t0 = time.time()
+        preds = {}
+        for i, tgt in enumerate(host_targets):
+            if tgt.get("is_padding"):
+                continue
+            preds[tgt["image_id"]] = finalize_predictions(
+                dets, i, tuple(tgt["original_size"]),
+                (int(batch["image_sizes"][i][0]),
+                 int(batch["image_sizes"][i][1])))
+        evaluator.update(preds)
+        logger.update(model_time=model_time,
+                      evaluator_time=time.time() - t0)
+    evaluator.synchronize_between_processes()
+    evaluator.accumulate()
+    evaluator.summarize()
+    return evaluator
+
+
+def loaders_from_config(config: Dict[str, Any], model_kind: str,
+                        batch_size: int, min_sizes=(800,),
+                        shard_index: int = 0, num_shards: int = 1):
+    from hnd_ghnd_tpu.data.loader import get_coco_data_loaders
+    from hnd_ghnd_tpu.data.transforms import DEFAULT_BUCKETS
+    tpu_cfg = config.get("tpu", {}) or {}
+    buckets = tuple(tuple(b) for b in tpu_cfg.get("buckets", DEFAULT_BUCKETS))
+    min_sizes = tuple(tpu_cfg.get("min_sizes", min_sizes))
+    max_size = int(tpu_cfg.get("max_size", 1333))
+    return get_coco_data_loaders(
+        config["dataset"], batch_size,
+        with_masks=model_kind == "mask_rcnn",
+        with_keypoints=model_kind == "keypoint_rcnn",
+        min_sizes=min_sizes, buckets=buckets, max_size=max_size,
+        shard_index=shard_index, num_shards=num_shards)
+
+
+def keypoint_min_sizes(model_kind: str, training: bool):
+    """KeypointRCNN trains at random min sides 640..800
+    (reference src/models/org/rcnn.py:325-326)."""
+    if model_kind == "keypoint_rcnn" and training:
+        return (640, 672, 704, 736, 768, 800)
+    return (800,)

@@ -1,0 +1,217 @@
+"""Neural-filter ("ext") training entry point.
+
+Parity surface: src/ext_runner.py — trains the 2-class filter that sits on
+the bottleneck encoder of a frozen detector: labels are "does this image
+contain a valid target" (check_if_valid_target, src/models/ext/backbone.py:
+19-34), loss is cross-entropy (:55), model selection is ROC-AUC (:146-150),
+and the final report is a threshold/TPR/FPR table at --min_recall (:112-119).
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hnd_ghnd_tpu.core.config import load_config, overwrite_config
+from hnd_ghnd_tpu.data.coco import check_if_valid_target
+from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
+                                        make_mesh_for_batch, put_batch,
+                                        replicate)
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+from hnd_ghnd_tpu.utils.logging import MetricLogger
+from hnd_ghnd_tpu.utils.params import apply_grad_mask
+
+EXT_PATH = ("backbone", "body", "layer1", "ext_classifier")
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Ext (neural filter) runner")
+    common.add_common_args(parser)
+    parser.add_argument("-train", action="store_true")
+    parser.add_argument("-test_only", action="store_true")
+    parser.add_argument("--min_recall", type=float, default=0.98)
+    return parser
+
+
+def host_target_to_ext_label(target: Dict, keypoint_task: bool) -> int:
+    """convert_target2ext_targets analog (src/ext_runner.py:34-36) on the
+    loader's host target dicts."""
+    anns = []
+    boxes = target.get("boxes", np.zeros((0, 4)))
+    for i in range(len(boxes)):
+        ann = {"bbox": [float(boxes[i, 0]), float(boxes[i, 1]),
+                        float(boxes[i, 2] - boxes[i, 0]),
+                        float(boxes[i, 3] - boxes[i, 1])]}
+        if "keypoints" in target:
+            ann["keypoints"] = np.asarray(target["keypoints"][i]).reshape(-1).tolist()
+        anns.append(ann)
+    return int(check_if_valid_target(anns, keypoint_task=keypoint_task))
+
+
+def _ext_only_mask(params):
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return path[:len(EXT_PATH)] == EXT_PATH
+    return walk(params, ())
+
+
+def make_ext_train_step(model, optimizer, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def step(params, state, opt_state, images, labels):
+        mask = _ext_only_mask(params)
+
+        def loss_fn(p):
+            logits, new_state, _ = model.forward(
+                p, state, {"images": images,
+                           "image_sizes": jnp.zeros((images.shape[0], 2), jnp.int32),
+                           "original_sizes": jnp.zeros((images.shape[0], 2), jnp.int32)},
+                training=True, ext_training=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+            return ce, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = apply_grad_mask(grads, mask)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return loss, new_params, new_state, new_opt_state
+
+    return jax.jit(step, in_shardings=(repl, repl, repl, data, data),
+                   out_shardings=(repl, repl, repl, repl))
+
+
+def collect_probs(model, params, state, loader, keypoint_task: bool):
+    """Eval pass: per-image filter probability P(valid) + label."""
+    jits = {}
+    probs: List[float] = []
+    labels: List[int] = []
+    for batch, _, host_targets in loader:
+        shape = batch["images"].shape
+        if shape not in jits:
+            @jax.jit
+            def fwd(p, s, im):
+                logits, _, _ = model.forward(
+                    p, s, {"images": im,
+                           "image_sizes": jnp.zeros((im.shape[0], 2), jnp.int32),
+                           "original_sizes": jnp.zeros((im.shape[0], 2), jnp.int32)},
+                    training=False, ext_training=True)
+                return logits
+            jits[shape] = fwd
+        pr = np.asarray(jits[shape](params, state,
+                                    jnp.asarray(batch["images"])))
+        for i, tgt in enumerate(host_targets):
+            if tgt.get("is_padding"):
+                continue
+            probs.append(float(pr[i, 1]))
+            labels.append(host_target_to_ext_label(tgt, keypoint_task))
+    return np.asarray(probs), np.asarray(labels)
+
+
+def summarize_cls(probs, labels, threshold=0.5):
+    from sklearn import metrics
+    preds = (probs >= threshold).astype(int)
+    acc = float((preds == labels).mean())
+    tp = int(((preds == 1) & (labels == 1)).sum())
+    tn = int(((preds == 0) & (labels == 0)).sum())
+    fp = int(((preds == 1) & (labels == 0)).sum())
+    fn = int(((preds == 0) & (labels == 1)).sum())
+    recall = tp / max(tp + fn, 1)
+    specificity = tn / max(tn + fp, 1)
+    try:
+        auc = float(metrics.roc_auc_score(labels, probs))
+    except ValueError:
+        auc = float("nan")
+    print(f"accuracy: {acc:.4f} recall: {recall:.4f} "
+          f"specificity: {specificity:.4f} ROC-AUC: {auc:.4f}")
+    return acc, recall, specificity, auc
+
+
+def print_threshold_table(probs, labels, min_recall: float):
+    """The reference's threshold/TPR/FPR report (src/ext_runner.py:112-119)."""
+    from sklearn import metrics
+    try:
+        fpr, tpr, thr = metrics.roc_curve(labels, probs)
+    except ValueError:
+        print("single-class labels; no ROC curve")
+        return
+    import pandas as pd
+    df = pd.DataFrame({"threshold": thr, "tpr": tpr, "fpr": fpr})
+    ok = df[df.tpr >= min_recall]
+    print(f"operating points with recall >= {min_recall}:")
+    print((ok if len(ok) else df).to_string(index=False))
+
+
+def main(args):
+    config = overwrite_config(load_config(args.config), args.json)
+    devices = jax.devices()
+    if args.world_size:
+        devices = devices[:args.world_size]
+    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
+    model, params, state = get_model(config["model"], seed=args.seed)
+    assert model.bottleneck is not None and model.bottleneck.ext is not None, \
+        "ext_runner requires a bottleneck model with ext_config"
+    keypoint_task = model.kind == "keypoint_rcnn"
+    ckpt_path = (config["model"]["backbone"].get("ext_config", {}) or {}).get("ckpt")
+
+    train_cfg = config["train"]
+    train_loader, val_loader, test_loader = common.loaders_from_config(
+        config, model.kind, int(train_cfg["batch_size"]))
+
+    if args.train:
+        optimizer, _ = build_optimizer(train_cfg["optimizer"],
+                                       train_cfg.get("scheduler"),
+                                       max(len(train_loader), 1))
+        step = make_ext_train_step(model, optimizer, mesh)
+        opt_state = optimizer.init(params)
+        params_r, state_r, opt_r = (replicate(x, mesh)
+                                    for x in (params, state, opt_state))
+        best_auc = 0.0
+        for epoch in range(int(train_cfg["num_epochs"])):
+            train_loader.set_epoch(epoch)
+            logger = MetricLogger()
+            for batch, _, host in logger.log_every(
+                    train_loader, int(train_cfg.get("log_freq", 1000)),
+                    f"Epoch: [{epoch}]"):
+                labels = jnp.asarray([host_target_to_ext_label(t, keypoint_task)
+                                      for t in host], jnp.int32)
+                loss, params_r, state_r, opt_r = step(
+                    params_r, state_r, opt_r,
+                    jax.device_put(jnp.asarray(batch["images"]),
+                                   jax.sharding.NamedSharding(
+                                       mesh, jax.sharding.PartitionSpec("data"))),
+                    jax.device_put(labels, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec("data"))))
+                logger.update(loss=float(loss))
+            probs, labels = collect_probs(model, params_r, state_r,
+                                          val_loader, keypoint_task)
+            _, _, _, auc = summarize_cls(probs, labels)
+            if auc > best_auc and ckpt_path:
+                best_auc = auc
+                ckpt_util.save_ckpt(ckpt_path, params=params_r, state=state_r,
+                                    best_value=best_auc, config=config,
+                                    args=vars(args))
+        params, state = params_r, state_r
+    elif ckpt_util.check_if_exists(ckpt_path):
+        payload = ckpt_util.load_ckpt(ckpt_path)
+        params = payload["params"]
+        state = payload["state"] or state
+
+    probs, labels = collect_probs(model, params, state, test_loader,
+                                  keypoint_task)
+    summarize_cls(probs, labels)
+    print_threshold_table(probs, labels, args.min_recall)
+
+
+if __name__ == "__main__":
+    main(get_argparser().parse_args())

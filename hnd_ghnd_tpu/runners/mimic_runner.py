@@ -1,0 +1,146 @@
+"""HND / GHND distillation entry point.
+
+Parity surface: src/mimic_runner.py — builds a frozen teacher and a
+bottleneck student from the YAML config, runs distillation epochs over the
+data mesh, evaluates val bbox mAP per epoch, keeps the best checkpoint, and
+finally evaluates teacher and student on the test split.
+
+CLI mirrors the reference: --config, --json, -distill, -test_only,
+-student_only, -transform_bottleneck, -skip_teacher_eval; --world_size maps
+to mesh size (DDP process-group flags have no analog).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnd_ghnd_tpu.core.config import load_config, overwrite_config
+from hnd_ghnd_tpu.distill.box import DistillationBox
+from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
+                                        make_mesh_for_batch,
+                                        make_distill_train_step, put_batch,
+                                        replicate)
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+from hnd_ghnd_tpu.utils.logging import MetricLogger
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Mimic (distillation) runner")
+    common.add_common_args(parser)
+    parser.add_argument("-distill", action="store_true",
+                        help="run distillation training")
+    parser.add_argument("-test_only", action="store_true")
+    parser.add_argument("-student_only", action="store_true")
+    parser.add_argument("-transform_bottleneck", action="store_true",
+                        help="quantize/dequantize the bottleneck at eval")
+    parser.add_argument("-skip_teacher_eval", action="store_true")
+    return parser
+
+
+def distill(teacher_pack, student_pack, config, args, mesh):
+    teacher, t_params, t_state = teacher_pack
+    student, s_params, s_state = student_pack
+    train_cfg = config["train"]
+    student_cfg = config["student_model"]
+
+    min_sizes = common.keypoint_min_sizes(student.kind, True)
+    train_loader, val_loader, _ = common.loaders_from_config(
+        config, student.kind, int(train_cfg["batch_size"]),
+        min_sizes=min_sizes)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    warmup = min(1000, steps_per_epoch - 1)
+    optimizer, _ = build_optimizer(train_cfg["optimizer"],
+                                   train_cfg.get("scheduler"),
+                                   steps_per_epoch, warmup)
+    box = DistillationBox(teacher, student, train_cfg["criterion"])
+    frozen = student_cfg.get("frozen_modules", [])
+    step = make_distill_train_step(box, optimizer, frozen, mesh=mesh,
+                                   donate=False)
+
+    opt_state = optimizer.init(s_params)
+    best_val_map = 0.0
+    ckpt_path = student_cfg.get("ckpt")
+    if ckpt_util.check_if_exists(ckpt_path):
+        payload = ckpt_util.load_ckpt(ckpt_path)
+        s_params = payload["params"]
+        s_state = payload["state"] or s_state
+        if payload.get("opt_state") is not None:
+            opt_state = payload["opt_state"]
+        best_val_map = payload.get("best_value", 0.0)
+        print(f"resumed from {ckpt_path} (best val mAP {best_val_map:.4f})")
+
+    t_params, t_state, s_params, s_state, opt_state = (
+        replicate(x, mesh)
+        for x in (t_params, t_state, s_params, s_state, opt_state))
+
+    num_epochs = int(train_cfg["num_epochs"])
+    log_freq = int(train_cfg.get("log_freq", 1000))
+    rng = jax.random.PRNGKey(args.seed)
+    for epoch in range(num_epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        header = f"Epoch: [{epoch}]"
+        for batch, _, _ in logger.log_every(train_loader, log_freq, header):
+            rng, key = jax.random.split(rng)
+            loss, loss_dict, s_params, s_state, opt_state = step(
+                t_params, t_state, s_params, s_state, opt_state,
+                put_batch({k: jnp.asarray(v) for k, v in batch.items()},
+                          mesh), key)
+            logger.update(loss=float(loss),
+                          **{k: float(v) for k, v in loss_dict.items()})
+
+        coco_evaluator = common.evaluate(
+            student, s_params, s_state, val_loader,
+            use_bottleneck_transformer=args.transform_bottleneck)
+        val_map = float(coco_evaluator.stats["bbox"][0])
+        if val_map > best_val_map and ckpt_path:
+            best_val_map = val_map
+            ckpt_util.save_ckpt(ckpt_path, params=s_params, state=s_state,
+                                opt_state=opt_state,
+                                best_value=best_val_map, config=config,
+                                args=vars(args))
+            print(f"saved best ckpt (val mAP {val_map:.4f})")
+    return s_params, s_state
+
+
+def main(args):
+    config = overwrite_config(load_config(args.config), args.json)
+    devices = jax.devices()
+    if args.world_size:
+        devices = devices[:args.world_size]
+    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
+    print(f"mesh: {mesh.devices.size} device(s)")
+
+    teacher, t_params, t_state = get_model(config["teacher_model"],
+                                           seed=args.seed)
+    student, s_params, s_state = get_model(config["student_model"],
+                                           seed=args.seed + 1)
+
+    if args.distill:
+        s_params, s_state = distill(
+            (teacher, t_params, t_state), (student, s_params, s_state),
+            config, args, mesh)
+    elif ckpt_util.check_if_exists(config["student_model"].get("ckpt")):
+        payload = ckpt_util.load_ckpt(config["student_model"]["ckpt"])
+        s_params = payload["params"]
+        s_state = payload["state"] or s_state
+
+    _, _, test_loader = common.loaders_from_config(
+        config, student.kind, 1)
+    if not args.student_only and not args.skip_teacher_eval:
+        print("evaluating teacher")
+        common.evaluate(teacher, t_params, t_state, test_loader)
+    print("evaluating student")
+    common.evaluate(student, s_params, s_state, test_loader,
+                    use_bottleneck_transformer=args.transform_bottleneck)
+
+
+if __name__ == "__main__":
+    main(get_argparser().parse_args())

@@ -1,0 +1,129 @@
+"""End-to-end runner tests on the synthetic COCO fixture (tiny buckets)."""
+import argparse
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.fixtures import make_coco_fixture
+
+
+def tiny_tpu_block():
+    return {"buckets": [[96, 96]], "min_sizes": [64], "max_size": 96}
+
+
+def dataset_block(img_dir, ann_file):
+    split = {"images": img_dir, "annotations": ann_file,
+             "remove_non_annotated_imgs": False, "jpeg_quality": None}
+    return {"name": "tiny", "num_workers": 2,
+            "splits": {"train": dict(split), "val": dict(split),
+                       "test": dict(split)}}
+
+
+def model_block(kind="faster_rcnn", bottleneck=None, num_classes=5,
+                ext=False, ckpt=None):
+    backbone = {"name": "resnet50",
+                "params": {"pretrained": False, "freeze_layers": True}}
+    if bottleneck:
+        backbone = {"name": "custom_resnet50",
+                    "params": {"pretrained": False, "freeze_layers": False,
+                               "layer1": {"name": "Bottleneck4LargeResNet",
+                                          "bottleneck_channel": bottleneck}}}
+    if ext:
+        backbone["ext_config"] = {"backbone_frozen": True, "threshold": 0.01,
+                                  "ckpt": ckpt}
+    out = {"name": kind, "backbone": backbone,
+           "params": {"num_classes": num_classes, "pretrained": False}}
+    if kind == "keypoint_rcnn":
+        out["params"]["num_keypoints"] = 17
+    if ckpt and not ext:
+        out["ckpt"] = ckpt
+    return out
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("runner_coco")
+    return make_coco_fixture(str(root), num_images=8, seed=7, num_classes=4)
+
+
+class TestMimicRunner:
+    def test_distill_and_eval(self, fixture, tmp_path):
+        from hnd_ghnd_tpu.runners import mimic_runner
+        img_dir, ann_file = fixture
+        ckpt = str(tmp_path / "student.pt")
+        config = {
+            "dataset": dataset_block(img_dir, ann_file),
+            "teacher_model": model_block("faster_rcnn"),
+            "student_model": {
+                **model_block("faster_rcnn", bottleneck=3, ckpt=ckpt),
+                "bottleneck_transformer": {
+                    "order": ["quantizer", "dequantizer"],
+                    "components": {
+                        "quantizer": {"params": {"num_bits": 8}},
+                        "dequantizer": {"params": {"num_bits": 8}}}},
+                "distill_backbone_only": True,
+                "frozen_modules": ["backbone.body.layer2",
+                                   "backbone.body.layer3",
+                                   "backbone.body.layer4",
+                                   "backbone.fpn", "rpn", "roi_heads"],
+            },
+            "train": {
+                "num_epochs": 1, "batch_size": 4, "log_freq": 1,
+                "optimizer": {"type": "Adam", "params": {"lr": 0.001}},
+                "criterion": {
+                    "type": "general", "params": {"org_loss_factor": 0.0},
+                    "terms": {"layer1": {
+                        "ts_modules": ["backbone.body.layer1"] * 2,
+                        "criterion": {"type": "MSELoss",
+                                      "params": {"reduction": "sum"}},
+                        "factor": 1.0}}},
+                "scheduler": {"type": "MultiStepLR",
+                              "params": {"milestones": [10], "gamma": 0.1}},
+            },
+            "test": {"batch_size": 1},
+            "tpu": tiny_tpu_block(),
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        args = argparse.Namespace(
+            config=str(cfg_path), json=None, device=None, world_size=None,
+            dist_url=None, seed=0, distill=True, test_only=False,
+            student_only=False, transform_bottleneck=True,
+            skip_teacher_eval=True)
+        mimic_runner.main(args)
+        assert os.path.exists(ckpt)  # best ckpt written (mAP >= 0 improves on -inf start only if > 0)
+
+
+class TestExtRunner:
+    def test_ext_train_and_threshold_table(self, tmp_path, capsys):
+        from hnd_ghnd_tpu.runners import ext_runner
+        img_dir, ann_file = make_coco_fixture(
+            str(tmp_path / "kp"), num_images=6, seed=9, keypoints=True,
+            num_classes=1)
+        ckpt = str(tmp_path / "ext.pt")
+        config = {
+            "dataset": dataset_block(img_dir, ann_file),
+            "model": model_block("keypoint_rcnn", bottleneck=3,
+                                 num_classes=2, ext=True, ckpt=ckpt),
+            "train": {
+                "num_epochs": 1, "batch_size": 2, "log_freq": 1,
+                "optimizer": {"type": "SGD",
+                              "params": {"lr": 0.001, "momentum": 0.9,
+                                         "weight_decay": 0.0001}},
+                "scheduler": {"type": "MultiStepLR",
+                              "params": {"milestones": [15], "gamma": 0.1}},
+            },
+            "test": {"batch_size": 1},
+            "tpu": tiny_tpu_block(),
+        }
+        cfg_path = tmp_path / "ext_cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        args = argparse.Namespace(
+            config=str(cfg_path), json=None, device=None, world_size=None,
+            dist_url=None, seed=0, train=True, test_only=False,
+            min_recall=0.5)
+        ext_runner.main(args)
+        out = capsys.readouterr().out
+        assert "ROC-AUC" in out

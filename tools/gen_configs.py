@@ -1,0 +1,216 @@
+"""Generate the config suite (org / hnd / ghnd / ext) in the reference's
+YAML schema, plus a `tpu` block for bucket/mesh settings.
+
+Coverage mirrors the reference inventory (SURVEY.md §2.5): org x3 detectors,
+hnd x {faster,mask,keypoint} x b{3,6,9,12,15}, ghnd x same x b{3,6,9,12},
+ext x1 keypoint filter.  Run: python tools/gen_configs.py
+"""
+import os
+
+import yaml
+
+ROOT = os.path.join(os.path.dirname(__file__), "..", "config")
+DATA_ROOT = "./resource/dataset/coco2017"
+
+DETECTORS = ("faster_rcnn", "mask_rcnn", "keypoint_rcnn")
+ANN = {"faster_rcnn": "instances", "mask_rcnn": "instances",
+       "keypoint_rcnn": "person_keypoints"}
+NUM_CLASSES = {"faster_rcnn": 91, "mask_rcnn": 91, "keypoint_rcnn": 2}
+EPOCHS = {"hnd": {"faster_rcnn": 20, "mask_rcnn": 20, "keypoint_rcnn": 35},
+          "ghnd": {"faster_rcnn": 20, "mask_rcnn": 20, "keypoint_rcnn": 35}}
+MILESTONES = {"hnd": {"faster_rcnn": [5, 15], "mask_rcnn": [5, 15],
+                      "keypoint_rcnn": [10, 25]},
+              "ghnd": {"faster_rcnn": [5, 15], "mask_rcnn": [5, 15],
+                       "keypoint_rcnn": [10, 25]}}
+
+
+def dataset_block(det, remove_train=True):
+    ann = ANN[det]
+    def split(name, img_split, remove):
+        return {
+            "images": f"{DATA_ROOT}/{img_split}2017",
+            "annotations": f"{DATA_ROOT}/annotations/{ann}_{img_split}2017.json",
+            "remove_non_annotated_imgs": remove,
+            "jpeg_quality": None,
+        }
+    return {
+        "name": "coco2017",
+        "root": DATA_ROOT,
+        "num_workers": 4,
+        "aspect_ratio_group_factor": 3,
+        "splits": {
+            "train": split("train", "train", remove_train),
+            "val": split("val", "val", False),
+            "test": split("val", "val", False),
+        },
+    }
+
+
+def transformer_block(bits=8):
+    return {"order": ["quantizer", "dequantizer"],
+            "components": {"quantizer": {"params": {"num_bits": bits}},
+                           "dequantizer": {"params": {"num_bits": bits}}}}
+
+
+def criterion_block(layers):
+    terms = {}
+    for i in layers:
+        terms[f"layer{i}"] = {
+            "ts_modules": [f"backbone.body.layer{i}",
+                           f"backbone.body.layer{i}"],
+            "criterion": {"type": "MSELoss", "params": {"reduction": "sum"}},
+            "factor": 1.0,
+        }
+    return {"type": "general", "params": {"org_loss_factor": 0.0},
+            "terms": terms}
+
+
+def tpu_block():
+    return {"buckets": [[832, 1344], [1344, 832]],
+            "compute_dtype": "bfloat16", "mesh_axis": "data"}
+
+
+def write(path, cfg):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False, default_flow_style=None)
+
+
+def gen_org():
+    for det in DETECTORS:
+        exp = f"coco2017-{det}-backbone_resnet50"
+        cfg = {
+            "dataset": dataset_block(det),
+            "model": {
+                "name": det,
+                "backbone": {"name": "resnet50",
+                             "params": {"pretrained": True,
+                                        "freeze_layers": True}},
+                "params": {"num_classes": NUM_CLASSES[det],
+                           "pretrained": True},
+                "experiment": exp,
+                "ckpt": f"./resource/ckpt/org/{exp}.pt",
+            },
+            "train": {
+                "num_epochs": 26, "batch_size": 2, "log_freq": 1000,
+                "optimizer": {"type": "SGD",
+                              "params": {"lr": 0.0075, "momentum": 0.9,
+                                         "weight_decay": 0.0001}},
+                "scheduler": {"type": "MultiStepLR",
+                              "params": {"milestones": [16, 22],
+                                         "gamma": 0.1}},
+            },
+            "test": {"batch_size": 1},
+            "tpu": tpu_block(),
+        }
+        if det == "keypoint_rcnn":
+            cfg["model"]["params"]["num_keypoints"] = 17
+        write(os.path.join(ROOT, "org", f"{det}-resnet50.yaml"), cfg)
+
+
+def gen_distill(method, bchs, layers):
+    for det in DETECTORS:
+        for b in bchs:
+            t_exp = f"coco2017-{det}-backbone_resnet50"
+            s_exp = (f"coco2017-{det}-backbone_custom_resnet50_from_{det}"
+                     f"-backbone_resnet50-b{b}ch")
+            cfg = {
+                "dataset": dataset_block(det),
+                "teacher_model": {
+                    "name": det,
+                    "backbone": {"name": "resnet50",
+                                 "params": {"pretrained": True,
+                                            "freeze_layers": True}},
+                    "params": {"num_classes": NUM_CLASSES[det],
+                               "pretrained": True},
+                    "experiment": t_exp,
+                    "ckpt": f"./resource/ckpt/org/{t_exp}.pt",
+                },
+                "student_model": {
+                    "name": det,
+                    "backbone": {
+                        "name": "custom_resnet50",
+                        "params": {"pretrained": True,
+                                   "freeze_layers": False,
+                                   "layer1": {"name": "Bottleneck4LargeResNet",
+                                              "bottleneck_channel": b}},
+                    },
+                    "bottleneck_transformer": transformer_block(),
+                    "params": {"num_classes": NUM_CLASSES[det],
+                               "pretrained": True},
+                    "distill_backbone_only": True,
+                    "frozen_modules": ["backbone.body.layer2",
+                                       "backbone.body.layer3",
+                                       "backbone.body.layer4",
+                                       "backbone.fpn", "rpn", "roi_heads"],
+                    "experiment": s_exp,
+                    "ckpt": f"./resource/ckpt/{method}/{s_exp}.pt",
+                },
+                "train": {
+                    "num_epochs": EPOCHS[method][det],
+                    "batch_size": 4, "log_freq": 1000,
+                    "optimizer": {"type": "Adam", "params": {"lr": 0.001}},
+                    "criterion": criterion_block(layers),
+                    "scheduler": {"type": "MultiStepLR",
+                                  "params": {"milestones":
+                                             MILESTONES[method][det],
+                                             "gamma": 0.1}},
+                },
+                "test": {"batch_size": 1},
+                "tpu": tpu_block(),
+            }
+            if det == "keypoint_rcnn":
+                for key in ("teacher_model", "student_model"):
+                    cfg[key]["params"]["num_keypoints"] = 17
+            write(os.path.join(ROOT, method,
+                               f"{det}-resnet50-b{b}ch.yaml"), cfg)
+
+
+def gen_ext():
+    b = 3
+    exp = (f"coco2017-keypoint_rcnn-backbone_custom_resnet50"
+           f"_from_keypoint_rcnn-backbone_resnet50-b{b}ch")
+    cfg = {
+        "dataset": dataset_block("keypoint_rcnn", remove_train=False),
+        "model": {
+            "name": "keypoint_rcnn",
+            "backbone": {
+                "name": "custom_resnet50",
+                "params": {"pretrained": True, "freeze_layers": True,
+                           "layer1": {"name": "Bottleneck4LargeResNet",
+                                      "bottleneck_channel": b}},
+                "ext_config": {
+                    "backbone_frozen": True,
+                    "threshold": 0.01,
+                    "ckpt": f"./resource/ckpt/ext/coco2017-keypoint_rcnn"
+                            f"-backbone_ext_custom_resnet50-b{b}ch.pt",
+                },
+            },
+            "bottleneck_transformer": transformer_block(),
+            "params": {"num_classes": 2, "num_keypoints": 17,
+                       "pretrained": True},
+            "experiment": exp,
+            "ckpt": f"./resource/ckpt/ghnd/{exp}.pt",
+        },
+        "train": {
+            "num_epochs": 30, "batch_size": 2, "log_freq": 10000,
+            "optimizer": {"type": "SGD",
+                          "params": {"lr": 0.001, "momentum": 0.9,
+                                     "weight_decay": 0.0001}},
+            "scheduler": {"type": "MultiStepLR",
+                          "params": {"milestones": [15, 25], "gamma": 0.1}},
+        },
+        "test": {"batch_size": 1},
+        "tpu": tpu_block(),
+    }
+    write(os.path.join(ROOT, "ext", "keypoint_rcnn-ext_resnet50-b3ch.yaml"),
+          cfg)
+
+
+if __name__ == "__main__":
+    gen_org()
+    gen_distill("hnd", (3, 6, 9, 12, 15), (1,))
+    gen_distill("ghnd", (3, 6, 9, 12), (1, 2, 3, 4))
+    gen_ext()
+    n = sum(len(files) for _, _, files in os.walk(ROOT))
+    print(f"wrote {n} configs under {ROOT}")
