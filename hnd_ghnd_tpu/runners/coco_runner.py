@@ -119,5 +119,9 @@ def main(args):
     common.evaluate(model, params, state, test_loader)
 
 
-if __name__ == "__main__":
+def cli():
     main(get_argparser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

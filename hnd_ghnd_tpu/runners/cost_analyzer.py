@@ -1,0 +1,203 @@
+"""Offline cost analysis CLI: parameters, payload sizes, split latency.
+
+Parity surface: src/cost_analyzer.py — four analyses selected by flags:
+  * model/head/tail parameter counts (:38-53);
+  * dataset JPEG payload sizes + communication-delay table over data rates
+    0.5-10 Mbps with delay = KB*8/(Mbps*1000) seconds (:56-68, :89-137);
+  * bottleneck tensor payload at fp32/fp16/int8 via DataLogger (:140-179);
+  * split head/tail wall-clock latency (mean±std) + COCO mAP with optional
+    8/16-bit quantization (:182-252).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnd_ghnd_tpu.codec.datalogger import DataLogger, binary_object_size_kb
+from hnd_ghnd_tpu.core.config import load_config, overwrite_config
+from hnd_ghnd_tpu.evals.coco_eval import CocoEvaluator
+from hnd_ghnd_tpu.evals.postprocess import finalize_predictions
+from hnd_ghnd_tpu.models.factory import get_iou_types, get_model
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.split.deploy import SplitRCNN
+from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+from hnd_ghnd_tpu.utils.params import count_params
+
+DATA_RATES_MBPS = [0.5 * i for i in range(1, 21)]  # 0.5 .. 10 Mbps
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Cost analyzer")
+    common.add_common_args(parser)
+    parser.add_argument("--model_params", action="store_true")
+    parser.add_argument("--data_size", action="store_true")
+    parser.add_argument("--bottleneck_size", action="store_true")
+    parser.add_argument("--split_model", action="store_true")
+    parser.add_argument("--quantization", type=int, default=8,
+                        help="wire bits for --split_model / --bottleneck_size"
+                             " (8 or 16; <=0 disables)")
+    parser.add_argument("--max_images", type=int, default=None,
+                        help="cap analyzed test images")
+    return parser
+
+
+def summarize_data_sizes(sizes_kb: List[float], label: str) -> None:
+    arr = np.asarray([s for s in sizes_kb if s > 0])
+    if not len(arr):
+        print(f"{label}: no data")
+        return
+    print(f"{label}: mean {arr.mean():.2f} KB  std {arr.std():.2f}  "
+          f"min {arr.min():.2f}  max {arr.max():.2f}")
+    print("  comm delay over data rate [Mbps -> sec/image]:")
+    row = "  ".join(f"{r:.1f}:{arr.mean() * 8 / (r * 1000):.3f}"
+                    for r in DATA_RATES_MBPS)
+    print("  " + row)
+
+
+def analyze_model_params(model, params) -> None:
+    print("parameter counts:")
+    total = count_params(params)
+    for module in ("backbone", "rpn", "roi_heads"):
+        print(f"  {module}: {count_params(params[module]):,}")
+    print(f"  total: {total:,}")
+    if model.bottleneck is not None:
+        from hnd_ghnd_tpu.split.deploy import (_split_head_params,
+                                               _split_tail_params)
+        n_head = count_params(_split_head_params(params))
+        n_tail = count_params(_split_tail_params(params))
+        print(f"  split head (edge): {n_head:,} ({100 * n_head / total:.2f}%)")
+        print(f"  split tail (server): {n_tail:,}")
+
+
+def analyze_data_size(loader, max_images: Optional[int]) -> None:
+    org_sizes, resized_sizes = [], []
+    ds = loader.dataset
+    for n, image_id in enumerate(ds.ids):
+        if max_images and n >= max_images:
+            break
+        info = ds.images[image_id]
+        path = os.path.join(ds.img_dir, info["file_name"])
+        org_sizes.append(os.path.getsize(path) / 1024.0)
+        img = ds.load_image(image_id)
+        resized_sizes.append(binary_object_size_kb(img))
+    summarize_data_sizes(org_sizes, "original JPEG payload")
+    summarize_data_sizes(resized_sizes, "decoded image payload")
+
+
+def analyze_bottleneck_size(model, params, state, loader, quant_bits,
+                            max_images: Optional[int]) -> None:
+    # quantization disabled in the head: the logger itself derives the
+    # fp16/int8 payloads from the raw fp32 bottleneck tensor (reference
+    # DataLogger semantics, transformer.py:76-91)
+    split = SplitRCNN(model, None)
+    head_jit, _, _ = split.build(params, state)
+    logger = DataLogger(num_bits=quant_bits if quant_bits > 0 else 8)
+    seen = 0
+    for batch, _, host in loader:
+        for i, tgt in enumerate(host):
+            if tgt.get("is_padding"):
+                continue
+            if max_images and seen >= max_images:
+                break
+            z, _, _, _ = head_jit(jnp.asarray(batch["images"][i:i + 1]))
+            logger(np.asarray(z, dtype=np.float32))
+            seen += 1
+        if max_images and seen >= max_images:
+            break
+    fp32, fp16, q8, shapes = logger.get_data()
+    summarize_data_sizes(fp32, "bottleneck fp32")
+    summarize_data_sizes(fp16, "bottleneck fp16")
+    summarize_data_sizes(q8, f"bottleneck int{logger.num_bits4quant}")
+    if shapes:
+        print(f"bottleneck tensor shape (C,H,W): {shapes[0]}")
+
+
+def analyze_split_model_inference(model, params, state, loader, quant_bits,
+                                  max_images: Optional[int],
+                                  ext_threshold: Optional[float]) -> None:
+    split = SplitRCNN(model, quant_bits if quant_bits > 0 else None)
+    head_jit, tail_call, _ = split.build(params, state)
+    evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
+    head_times, tail_times, wire_kb = [], [], []
+    seen = 0
+    for batch, _, host in loader:
+        bucket = batch["images"].shape[1:3]
+        for i, tgt in enumerate(host):
+            if tgt.get("is_padding"):
+                continue
+            if max_images and seen >= max_images:
+                break
+            t0 = time.perf_counter()
+            wire = split.run_edge(head_jit, batch["images"][i:i + 1],
+                                  batch["image_sizes"][i:i + 1],
+                                  batch["original_sizes"][i:i + 1],
+                                  ext_threshold=ext_threshold)
+            head_times.append(time.perf_counter() - t0)
+            if wire is None:  # ext filter aborted: empty prediction
+                evaluator.update({tgt["image_id"]: {
+                    "boxes": np.zeros((0, 4)), "scores": np.zeros(0),
+                    "labels": np.zeros(0, np.int64)}})
+                seen += 1
+                continue
+            wire_kb.append(len(wire) / 1024.0)
+            t0 = time.perf_counter()
+            dets = split.run_server(tail_call, wire, tuple(bucket))
+            tail_times.append(time.perf_counter() - t0)
+            preds = finalize_predictions(
+                dets, 0, tuple(tgt["original_size"]),
+                (int(batch["image_sizes"][i][0]),
+                 int(batch["image_sizes"][i][1])))
+            evaluator.update({tgt["image_id"]: preds})
+            seen += 1
+        if max_images and seen >= max_images:
+            break
+    for name, times in (("head", head_times), ("tail", tail_times)):
+        if times:
+            # drop the first (compile) sample
+            arr = np.asarray(times[1:] or times)
+            print(f"{name} latency: {arr.mean() * 1000:.2f} ± "
+                  f"{arr.std() * 1000:.2f} ms")
+    summarize_data_sizes(wire_kb, "wire payload")
+    evaluator.accumulate()
+    evaluator.summarize()
+
+
+def main(args):
+    config = overwrite_config(load_config(args.config), args.json)
+    model_cfg = config.get("student_model", config.get("model"))
+    model, params, state = get_model(model_cfg, seed=args.seed)
+    if ckpt_util.check_if_exists(model_cfg.get("ckpt")):
+        payload = ckpt_util.load_ckpt(model_cfg["ckpt"])
+        params = payload["params"]
+        state = payload["state"] or state
+    _, _, test_loader = common.loaders_from_config(config, model.kind, 1)
+    ext_threshold = (model_cfg["backbone"].get("ext_config") or {}).get(
+        "threshold") if model.bottleneck and model.bottleneck.ext else None
+
+    if args.model_params:
+        analyze_model_params(model, params)
+    if args.data_size:
+        analyze_data_size(test_loader, args.max_images)
+    if args.bottleneck_size:
+        assert model.bottleneck is not None, "needs a bottleneck model"
+        analyze_bottleneck_size(model, params, state, test_loader,
+                                args.quantization, args.max_images)
+    if args.split_model:
+        assert model.bottleneck is not None, "needs a bottleneck model"
+        analyze_split_model_inference(model, params, state, test_loader,
+                                      args.quantization, args.max_images,
+                                      ext_threshold)
+
+
+def cli():
+    main(get_argparser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -213,5 +213,9 @@ def main(args):
     print_threshold_table(probs, labels, args.min_recall)
 
 
-if __name__ == "__main__":
+def cli():
     main(get_argparser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

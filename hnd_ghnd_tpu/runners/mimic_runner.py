@@ -142,5 +142,9 @@ def main(args):
                     use_bottleneck_transformer=args.transform_bottleneck)
 
 
-if __name__ == "__main__":
+def cli():
     main(get_argparser().parse_args())
+
+
+if __name__ == "__main__":
+    cli()

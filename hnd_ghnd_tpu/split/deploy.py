@@ -1,0 +1,228 @@
+"""Split-computing deployment: edge HEAD / server TAIL programs.
+
+Capability parity: src/models/mimic/split_rcnn.py — the trained bottleneck
+detector splits into a mobile head (preprocess + stem + layer1-encoder +
+optional ext gate + 8-bit quantizer, :13-37) and a server tail (dequantizer +
+layer1-decoder + layers2-4 + FPN + RPN + RoIHeads + postprocess, :162-212).
+Only the quantized bottleneck tensor plus shape metadata crosses the network
+(:37: the wire tuple).  The reference rewrites its AnchorGenerator/RPN to
+work from image *sizes* instead of pixels (:76-159); in this framework that
+property is inherent — anchors derive from the static bucket geometry.
+
+Here head and tail are two independently-jitted XLA programs with an
+explicit byte-level wire format between them, i.e. genuinely deployable as
+separate processes/devices, not a module split inside one graph.
+"""
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnd_ghnd_tpu.codec.quantizer import QuantizedTensor, quantize_tensor, dequantize_tensor
+from hnd_ghnd_tpu.models.rcnn import RCNN
+
+Params = Dict[str, Any]
+
+_MAGIC = b"HGW1"  # hnd-ghnd wire format v1
+
+
+class WirePacket(NamedTuple):
+    """What crosses the edge->server boundary (plus static bucket shape
+    carried in the header)."""
+    tensor: np.ndarray        # uint8 [B, H', W', C'] (or fp16 when bits=16)
+    scale: float
+    zero_point: float
+    image_sizes: np.ndarray   # [B, 2] valid sizes in the padded bucket
+    original_sizes: np.ndarray  # [B, 2]
+    ext_logits: Optional[np.ndarray]  # [B, 2] or None
+
+
+def pack_wire(p: WirePacket) -> bytes:
+    meta = {
+        "dtype": str(p.tensor.dtype), "shape": list(p.tensor.shape),
+        "scale": float(p.scale), "zero_point": float(p.zero_point),
+        "image_sizes": np.asarray(p.image_sizes).tolist(),
+        "original_sizes": np.asarray(p.original_sizes).tolist(),
+        "ext": None if p.ext_logits is None
+               else np.asarray(p.ext_logits).tolist(),
+    }
+    mb = json.dumps(meta).encode()
+    body = np.ascontiguousarray(p.tensor).tobytes()
+    return _MAGIC + struct.pack("<I", len(mb)) + mb + body
+
+
+def unpack_wire(buf: bytes) -> WirePacket:
+    assert buf[:4] == _MAGIC, "bad wire magic"
+    (mlen,) = struct.unpack("<I", buf[4:8])
+    meta = json.loads(buf[8:8 + mlen].decode())
+    body = np.frombuffer(buf[8 + mlen:], dtype=np.dtype(meta["dtype"]))
+    tensor = body.reshape(meta["shape"])
+    ext = meta["ext"]
+    return WirePacket(tensor, meta["scale"], meta["zero_point"],
+                      np.asarray(meta["image_sizes"], np.int32),
+                      np.asarray(meta["original_sizes"], np.int32),
+                      None if ext is None else np.asarray(ext, np.float32))
+
+
+def _split_head_params(params: Params) -> Params:
+    body = params["backbone"]["body"]
+    head_layer1 = {"encoder": body["layer1"]["encoder"]}
+    if "ext_classifier" in body["layer1"]:
+        head_layer1["ext_classifier"] = body["layer1"]["ext_classifier"]
+    return {"backbone": {"body": {
+        "conv1": body["conv1"], "bn1": body["bn1"], "layer1": head_layer1}}}
+
+
+def _split_tail_params(params: Params) -> Params:
+    body = params["backbone"]["body"]
+    return {
+        "backbone": {
+            "body": {"layer1": {"decoder": body["layer1"]["decoder"]},
+                     "layer2": body["layer2"], "layer3": body["layer3"],
+                     "layer4": body["layer4"]},
+            "fpn": params["backbone"]["fpn"],
+        },
+        "rpn": params["rpn"],
+        "roi_heads": params["roi_heads"],
+    }
+
+
+class SplitRCNN:
+    """Builds the two jitted programs from a trained bottleneck RCNN."""
+
+    def __init__(self, model: RCNN, quant_bits: Optional[int] = 8):
+        assert model.bottleneck is not None, \
+            "split deployment requires a bottleneck (custom_resnet) model"
+        self.model = model
+        self.quant_bits = quant_bits
+
+    # ----------------------------------------------------------------- head
+    def head_fn(self, head_params: Params, head_state: Params,
+                images: jnp.ndarray):
+        """normalize -> stem -> encoder (-> ext) -> quantize.
+        Returns (q_tensor, scale, zero_point, ext_logits_or_zeros)."""
+        model = self.model
+        x = model.normalize(images)
+        body_p = head_params["backbone"]["body"]
+        body_s = head_state["backbone"]["body"]
+        y = model.body.stem(body_p, x)
+        bott = model.bottleneck
+        ext_logits = jnp.zeros((images.shape[0], 2), jnp.float32)
+        if bott.ext is not None:
+            ext_logits, _ = bott.ext.apply(
+                body_p["layer1"]["ext_classifier"],
+                body_s["layer1"]["ext_classifier"], y, training=False)
+        z, _ = bott.encode(body_p["layer1"], body_s["layer1"], y,
+                           training=False)
+        if self.quant_bits is None:
+            return z, jnp.float32(1.0), jnp.float32(0.0), ext_logits
+        if self.quant_bits == 16:
+            return (z.astype(jnp.float16), jnp.float32(1.0), jnp.float32(0.0),
+                    ext_logits)
+        q = quantize_tensor(z, self.quant_bits)
+        return q.tensor, q.scale, q.zero_point, ext_logits
+
+    # ----------------------------------------------------------------- tail
+    def tail_fn(self, tail_params: Params, tail_state: Params,
+                q_tensor: jnp.ndarray, scale: jnp.ndarray,
+                zero_point: jnp.ndarray, image_sizes: jnp.ndarray,
+                bucket_hw: Tuple[int, int]):
+        """dequantize -> decoder -> layers2-4 -> FPN -> RPN -> RoI heads.
+        Returns the fixed-shape detection dict (padded-bucket coords)."""
+        model = self.model
+        if self.quant_bits is None:
+            z = q_tensor
+        elif self.quant_bits == 16:
+            z = q_tensor.astype(jnp.float32)
+        else:
+            z = dequantize_tensor(
+                QuantizedTensor(q_tensor, scale, zero_point))
+        body_p = tail_params["backbone"]["body"]
+        body_s = tail_state["backbone"]["body"]
+        y, _ = model.bottleneck.decode(body_p["layer1"], body_s["layer1"], z,
+                                       training=False)
+        feats = [y]
+        for stage in (1, 2, 3):
+            y = model.body._apply_stage(body_p, y, stage)
+            feats.append(y)
+        fpn_feats = model.fpn.apply(tail_params["backbone"]["fpn"], feats)
+        proposals, prop_valid, _ = model.rpn.propose(
+            tail_params["rpn"], fpn_feats, image_sizes, bucket_hw,
+            training=False)
+        dets = model.roi_heads.infer(
+            tail_params["roi_heads"], fpn_feats, proposals, prop_valid,
+            image_sizes, bucket_hw)
+        return dets
+
+    # ------------------------------------------------------------ compiled
+    def build(self, params: Params, state: Params):
+        """Split params/state and return (head_call, tail_call) jitted fns.
+
+        head_call(images [B,H,W,3] float in [0,1]) -> WirePacket fields
+        tail_call(packet fields...) -> detection dict
+        """
+        head_params = _split_head_params(params)
+        tail_params = _split_tail_params(params)
+        head_state = {"backbone": {"body": {
+            "layer1": state["backbone"]["body"]["layer1"]}}}
+        tail_state = head_state
+
+        head_jit = jax.jit(lambda im: self.head_fn(head_params, head_state, im))
+
+        tail_cache: Dict[Tuple[int, int], Any] = {}
+
+        def tail_call(q_tensor, scale, zero_point, image_sizes, bucket_hw):
+            key = tuple(bucket_hw)
+            if key not in tail_cache:
+                tail_cache[key] = jax.jit(
+                    lambda q, s, zp, sz: self.tail_fn(
+                        tail_params, tail_state, q, s, zp, sz, key))
+            return tail_cache[key](q_tensor, jnp.float32(scale),
+                                   jnp.float32(zero_point),
+                                   jnp.asarray(image_sizes))
+        return head_jit, tail_call, (head_params, tail_params)
+
+    # ------------------------------------------------------- host protocol
+    def run_edge(self, head_jit, images: np.ndarray, image_sizes, original_sizes,
+                 ext_threshold: Optional[float] = None) -> Optional[bytes]:
+        """Edge-side inference: returns the wire bytes, or None when the ext
+        filter aborts (reference RcnnHead.forward returning None,
+        split_rcnn.py:29-33; batch-1 semantics like the reference)."""
+        q, scale, zp, ext_logits = head_jit(jnp.asarray(images))
+        ext_np = np.asarray(ext_logits)
+        if (ext_threshold is not None and self.model.bottleneck.ext is not None
+                and images.shape[0] == 1 and ext_np[0, 1] < ext_threshold):
+            return None
+        packet = WirePacket(np.asarray(q), float(scale), float(zp),
+                            np.asarray(image_sizes),
+                            np.asarray(original_sizes), ext_np)
+        return pack_wire(packet)
+
+    def run_server(self, tail_call, wire: bytes, bucket_hw: Tuple[int, int]):
+        """Server-side inference from wire bytes to final detections in
+        original-image coordinates."""
+        p = unpack_wire(wire)
+        dets = tail_call(jnp.asarray(p.tensor), p.scale, p.zero_point,
+                         p.image_sizes, bucket_hw)
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        scale = p.original_sizes.astype(np.float32) / \
+            p.image_sizes.astype(np.float32)
+        sy, sx = scale[:, 0][:, None], scale[:, 1][:, None]
+        b = dets["boxes"]
+        dets["boxes_model"] = b
+        dets["boxes"] = np.stack([b[..., 0] * sx, b[..., 1] * sy,
+                                  b[..., 2] * sx, b[..., 3] * sy], axis=-1)
+        return dets
+
+
+def split_rcnn_model(model: RCNN, params: Params, state: Params,
+                     quantization: Optional[int] = 8):
+    """Reference-API analog (split_rcnn.py:215-221): returns
+    (head_call, tail_call, split_param_trees)."""
+    split = SplitRCNN(model, quantization)
+    return split.build(params, state)

@@ -1,0 +1,121 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.models.factory import build_model
+from hnd_ghnd_tpu.split.deploy import (SplitRCNN, WirePacket, pack_wire,
+                                       unpack_wire, split_rcnn_model)
+
+BUCKET = (96, 128)
+
+
+@pytest.fixture(scope="module")
+def student():
+    model = build_model({
+        "name": "faster_rcnn",
+        "backbone": {"name": "custom_resnet50",
+                     "params": {"pretrained": False, "freeze_layers": False,
+                                "layer1": {"name": "Bottleneck4LargeResNet",
+                                           "bottleneck_channel": 3}}},
+        "params": {"num_classes": 7},
+    })
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+def make_images(b=1, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(b, BUCKET[0], BUCKET[1], 3).astype(np.float32)
+
+
+class TestWireFormat:
+    def test_roundtrip(self):
+        p = WirePacket(np.arange(24, dtype=np.uint8).reshape(1, 2, 3, 4),
+                       0.5, 3.0, np.asarray([[96, 128]], np.int32),
+                       np.asarray([[48, 64]], np.int32),
+                       np.asarray([[0.1, 0.9]], np.float32))
+        buf = pack_wire(p)
+        q = unpack_wire(buf)
+        np.testing.assert_array_equal(q.tensor, p.tensor)
+        assert q.scale == p.scale and q.zero_point == p.zero_point
+        np.testing.assert_array_equal(q.image_sizes, p.image_sizes)
+        np.testing.assert_allclose(q.ext_logits, p.ext_logits)
+
+    def test_wire_is_compact(self):
+        # int8 bottleneck of a 96x128 image, b=3: (24+4)x(32+4)x3 bytes + meta
+        t = np.zeros((1, 28, 36, 3), np.uint8)
+        p = WirePacket(t, 1.0, 0.0, np.asarray([[96, 128]], np.int32),
+                       np.asarray([[96, 128]], np.int32), None)
+        buf = pack_wire(p)
+        assert len(buf) < t.size + 400  # payload + small header
+
+
+class TestSplitParity:
+    def test_split_matches_full_model(self, student):
+        model, params, state = student
+        images = make_images()
+        batch = {"images": jnp.asarray(images),
+                 "image_sizes": jnp.asarray([[96, 128]], jnp.int32),
+                 "original_sizes": jnp.asarray([[48, 64]], jnp.int32)}
+        full, _, _ = model.forward(params, state, batch, training=False,
+                                   use_bottleneck_transformer=True)
+
+        split = SplitRCNN(model, quant_bits=8)
+        head_jit, tail_call, _ = split.build(params, state)
+        wire = split.run_edge(head_jit, images, batch["image_sizes"],
+                              batch["original_sizes"])
+        assert wire is not None
+        dets = split.run_server(tail_call, wire, BUCKET)
+
+        np.testing.assert_allclose(np.asarray(full["boxes"]), dets["boxes"],
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(full["scores"]), dets["scores"],
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(full["labels"]),
+                                      dets["labels"])
+
+    def test_head_tail_param_partition_is_disjoint_and_complete(self, student):
+        model, params, state = student
+        _, _, (head_params, tail_params) = split_rcnn_model(
+            model, params, state, 8)
+        import jax.tree_util as jtu
+        n_head = sum(x.size for x in jtu.tree_leaves(head_params))
+        n_tail = sum(x.size for x in jtu.tree_leaves(tail_params))
+        n_full = sum(x.size for x in jtu.tree_leaves(params))
+        assert n_head + n_tail == n_full
+        # head must be small (edge device): < 5% of total
+        assert n_head < 0.05 * n_full
+
+
+class TestExtAbort:
+    def test_edge_aborts_below_threshold(self):
+        model = build_model({
+            "name": "faster_rcnn",
+            "backbone": {"name": "custom_resnet50",
+                         "params": {"pretrained": False,
+                                    "freeze_layers": False,
+                                    "layer1": {"name": "Bottleneck4LargeResNet",
+                                               "bottleneck_channel": 3}},
+                         "ext_config": {"threshold": 0.5,
+                                        "backbone_frozen": True}},
+            "bottleneck_transformer": {
+                "order": ["quantizer", "dequantizer"],
+                "components": {"quantizer": {"params": {"num_bits": 8}},
+                               "dequantizer": {"params": {"num_bits": 8}}}},
+            "params": {"num_classes": 7},
+        })
+        params, state = model.init(jax.random.PRNGKey(1))
+        split = SplitRCNN(model, 8)
+        head_jit, _, _ = split.build(params, state)
+        images = make_images()
+        sizes = np.asarray([[96, 128]], np.int32)
+        # threshold 1.1 can never pass a softmax output -> abort
+        wire = split.run_edge(head_jit, images, sizes, sizes,
+                              ext_threshold=1.1)
+        assert wire is None
+        # threshold 0 always passes
+        wire = split.run_edge(head_jit, images, sizes, sizes,
+                              ext_threshold=0.0)
+        assert wire is not None
+        assert unpack_wire(wire).ext_logits is not None
