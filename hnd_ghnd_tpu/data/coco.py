@@ -67,20 +67,18 @@ def _decode_rle_counts(counts, h: int, w: int) -> np.ndarray:
 def rasterize_polygons(polys: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
     """Rasterize COCO polygon(s) to a binary mask (union over parts).
 
-    Uses PIL's even-odd polygon fill per part and unions parts, matching the
-    COCO convention of merging all parts of one annotation.  Boundary
-    handling may differ from pycocotools' rleFrPoly by sub-pixel amounts;
-    evaluation is internally consistent because GT and predictions go
-    through the same rasterizer.
+    Uses the native cocomask scanline fill (even-odd at pixel centers) and
+    unions parts, matching the COCO convention of merging all parts of one
+    annotation.  Boundary handling may differ from pycocotools' rleFrPoly by
+    sub-pixel amounts; evaluation is internally consistent because GT and
+    predictions go through the same rasterizer.
     """
-    from PIL import ImageDraw
+    from hnd_ghnd_tpu.evals import mask_rle
     mask = np.zeros((h, w), dtype=np.uint8)
     for poly in polys:
         if len(poly) < 6:
             continue
-        img = Image.new("L", (w, h), 0)
-        ImageDraw.Draw(img).polygon(list(map(float, poly)), outline=1, fill=1)
-        mask |= np.asarray(img, dtype=np.uint8)
+        mask_rle.fill_polygon(list(map(float, poly)), h, w, mask)
     return mask
 
 

@@ -64,18 +64,16 @@ def bbox_iou_matrix(dets: np.ndarray, gts: np.ndarray,
 
 def mask_iou_matrix(det_masks: List[np.ndarray], gt_masks: List[np.ndarray],
                     iscrowd: np.ndarray) -> np.ndarray:
-    """IoU between binary masks (full-image uint8)."""
+    """IoU between binary masks (full-image uint8) via run-length encoding —
+    the native cocomask library merges runs without materializing the
+    [N, M, H*W] intersection tensor a dense formulation would need."""
     if len(det_masks) == 0 or len(gt_masks) == 0:
         return np.zeros((len(det_masks), len(gt_masks)))
-    d = np.stack([m.reshape(-1).astype(bool) for m in det_masks])
-    g = np.stack([m.reshape(-1).astype(bool) for m in gt_masks])
-    inter = (d[:, None, :] & g[None, :, :]).sum(-1).astype(np.float64)
-    da = d.sum(-1)[:, None].astype(np.float64)
-    ga = g.sum(-1)[None].astype(np.float64)
-    union = np.where(iscrowd[None].astype(bool), da, da + ga - inter)
-    out = np.zeros_like(inter)
-    np.divide(inter, union, out=out, where=union > 0)
-    return out
+    from hnd_ghnd_tpu.evals import mask_rle
+    det_rles = [mask_rle.encode(m) for m in det_masks]
+    gt_rles = [mask_rle.encode(m) for m in gt_masks]
+    return mask_rle.iou_matrix(det_rles, gt_rles,
+                               np.asarray(iscrowd, np.int32))
 
 
 def oks_matrix(det_kps: np.ndarray, gts: List[dict]) -> np.ndarray:

@@ -1,0 +1,163 @@
+// cocomask: native RLE mask codec + IoU for COCO-style evaluation.
+//
+// The reference leans on pycocotools' C extension for RLE encode/decode,
+// mask IoU, and polygon rasterization (reference: src/utils/coco_util.py:9,
+// src/utils/coco_eval_util.py:6).  pycocotools is absent in this
+// environment, so this is a from-scratch implementation of the same
+// well-known algorithms (column-major run-length masks, LEB128-style
+// compressed counts, run-intersection IoU, even-odd scanline polygon fill),
+// exposed through a C ABI for ctypes.
+//
+// Build: tools/build_native.sh  ->  libcocomask.so
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// RLE encode: binary mask [h, w] (row-major uint8) -> column-major run
+// lengths. Returns number of runs written into `counts` (caller allocates
+// h * w + 1 entries worst case).
+// ---------------------------------------------------------------------------
+int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w,
+                   uint32_t* counts) {
+    int64_t n = 0;
+    uint8_t cur = 0;  // runs always start with the zero value
+    uint32_t run = 0;
+    for (int64_t x = 0; x < w; ++x) {
+        for (int64_t y = 0; y < h; ++y) {
+            uint8_t v = mask[y * w + x] ? 1 : 0;
+            if (v == cur) {
+                ++run;
+            } else {
+                counts[n++] = run;
+                cur = v;
+                run = 1;
+            }
+        }
+    }
+    counts[n++] = run;
+    return n;
+}
+
+// RLE decode: runs -> binary mask [h, w] row-major.
+void rle_decode(const uint32_t* counts, int64_t n_counts, int64_t h,
+                int64_t w, uint8_t* mask) {
+    int64_t pos = 0;
+    uint8_t val = 0;
+    for (int64_t i = 0; i < n_counts; ++i) {
+        for (uint32_t k = 0; k < counts[i]; ++k) {
+            int64_t x = pos / h;
+            int64_t y = pos % h;
+            if (x < w) mask[y * w + x] = val;
+            ++pos;
+        }
+        val = 1 - val;
+    }
+}
+
+// Area of an RLE (sum of odd runs).
+int64_t rle_area(const uint32_t* counts, int64_t n_counts) {
+    int64_t a = 0;
+    for (int64_t i = 1; i < n_counts; i += 2) a += counts[i];
+    return a;
+}
+
+// ---------------------------------------------------------------------------
+// IoU between two RLEs over the same canvas via run merging — O(runs), no
+// mask materialization.  iscrowd: denominator is the det area only.
+// ---------------------------------------------------------------------------
+static int64_t rle_intersection(const uint32_t* a, int64_t na,
+                                const uint32_t* b, int64_t nb) {
+    int64_t ia = 0, ib = 0;
+    int64_t ca = a[0], cb = b[0];  // remaining length of current run
+    uint8_t va = 0, vb = 0;
+    int64_t inter = 0;
+    while (ia < na && ib < nb) {
+        int64_t step = std::min(ca, cb);
+        if (va && vb) inter += step;
+        ca -= step;
+        cb -= step;
+        if (ca == 0) {
+            ++ia;
+            if (ia < na) ca = a[ia];
+            va = 1 - va;
+        }
+        if (cb == 0) {
+            ++ib;
+            if (ib < nb) cb = b[ib];
+            vb = 1 - vb;
+        }
+    }
+    return inter;
+}
+
+double rle_iou(const uint32_t* det, int64_t n_det, const uint32_t* gt,
+               int64_t n_gt, int32_t iscrowd) {
+    int64_t inter = rle_intersection(det, n_det, gt, n_gt);
+    int64_t da = rle_area(det, n_det);
+    int64_t ga = rle_area(gt, n_gt);
+    double denom = iscrowd ? (double)da : (double)(da + ga - inter);
+    return denom > 0 ? (double)inter / denom : 0.0;
+}
+
+// Batched IoU: dets/gts as concatenated runs with offsets.
+void rle_iou_matrix(const uint32_t* det_runs, const int64_t* det_off,
+                    int64_t n_det, const uint32_t* gt_runs,
+                    const int64_t* gt_off, int64_t n_gt,
+                    const int32_t* iscrowd, double* out) {
+    for (int64_t i = 0; i < n_det; ++i) {
+        const uint32_t* d = det_runs + det_off[i];
+        int64_t nd = det_off[i + 1] - det_off[i];
+        for (int64_t j = 0; j < n_gt; ++j) {
+            const uint32_t* g = gt_runs + gt_off[j];
+            int64_t ng = gt_off[j + 1] - gt_off[j];
+            out[i * n_gt + j] = rle_iou(d, nd, g, ng, iscrowd[j]);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Polygon rasterization: even-odd scanline fill at pixel centers
+// (x + 0.5, y + 0.5), vertices in (x0, y0, x1, y1, ...) order.
+// Fills a row-major [h, w] uint8 mask (OR-ed into the buffer so multiple
+// parts union).
+// ---------------------------------------------------------------------------
+void fill_polygon(const double* xy, int64_t n_vertices, int64_t h, int64_t w,
+                  uint8_t* mask) {
+    if (n_vertices < 3) return;
+    std::vector<double> xs(n_vertices), ys(n_vertices);
+    double ymin = 1e30, ymax = -1e30;
+    for (int64_t i = 0; i < n_vertices; ++i) {
+        xs[i] = xy[2 * i];
+        ys[i] = xy[2 * i + 1];
+        ymin = std::min(ymin, ys[i]);
+        ymax = std::max(ymax, ys[i]);
+    }
+    int64_t y0 = std::max<int64_t>(0, (int64_t)std::floor(ymin));
+    int64_t y1 = std::min<int64_t>(h - 1, (int64_t)std::ceil(ymax));
+    std::vector<double> nodes;
+    for (int64_t y = y0; y <= y1; ++y) {
+        double cy = y + 0.5;
+        nodes.clear();
+        for (int64_t i = 0, j = n_vertices - 1; i < n_vertices; j = i++) {
+            double yi = ys[i], yj = ys[j];
+            if ((yi <= cy && yj > cy) || (yj <= cy && yi > cy)) {
+                double t = (cy - yi) / (yj - yi);
+                nodes.push_back(xs[i] + t * (xs[j] - xs[i]));
+            }
+        }
+        std::sort(nodes.begin(), nodes.end());
+        for (size_t k = 0; k + 1 < nodes.size(); k += 2) {
+            int64_t xa = std::max<int64_t>(0, (int64_t)std::ceil(nodes[k] - 0.5));
+            int64_t xb = std::min<int64_t>(w - 1,
+                                           (int64_t)std::floor(nodes[k + 1] - 0.5));
+            for (int64_t x = xa; x <= xb; ++x) mask[y * w + x] = 1;
+        }
+    }
+}
+
+}  // extern "C"
