@@ -79,7 +79,8 @@ class TestDataset:
         m = rasterize_polygons([[2, 2, 8, 2, 8, 6, 2, 6]], 10, 12)
         assert m[4, 5] == 1
         assert m[0, 0] == 0
-        assert m.sum() >= 5 * 7  # inclusive fill
+        # pixel-center even-odd fill: x in [2,8) x y in [2,6) = 6*4 pixels
+        assert m.sum() == 24
 
 
 class TestTransforms:
