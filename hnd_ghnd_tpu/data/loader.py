@@ -29,17 +29,48 @@ from hnd_ghnd_tpu.data.coco import CocoDataset
 MAX_GT = 100
 
 
-def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT) -> Dict[str, np.ndarray]:
+MASK_TARGET_STRIDE = 4  # gt masks shipped to device at bucket/4 resolution
+
+
+def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT,
+                 bucket=None) -> Dict[str, np.ndarray]:
     b = len(targets)
     boxes = np.zeros((b, max_gt, 4), np.float32)
     labels = np.zeros((b, max_gt), np.int32)
     valid = np.zeros((b, max_gt), bool)
+    with_masks = any("masks" in t for t in targets) and bucket is not None
+    with_kps = any("keypoints" in t for t in targets)
+    if with_masks:
+        mh = bucket[0] // MASK_TARGET_STRIDE
+        mw = bucket[1] // MASK_TARGET_STRIDE
+        masks_q = np.zeros((b, max_gt, mh, mw), np.uint8)
+    if with_kps:
+        kps = np.zeros((b, max_gt, 17, 3), np.float32)
     for i, t in enumerate(targets):
         g = min(len(t["boxes"]), max_gt)
         boxes[i, :g] = t["boxes"][:g]
         labels[i, :g] = t["labels"][:g]
         valid[i, :g] = True
-    return {"boxes": boxes, "labels": labels, "boxes_valid": valid}
+        if with_masks and "masks" in t and g:
+            import cv2
+            for j in range(g):
+                # the image sits in the bucket's top-left corner, so its
+                # quarter-res raster goes there too (pad stays zero)
+                m = t["masks"][j]
+                q = cv2.resize(
+                    m.astype(np.float32),
+                    (max(m.shape[1] // MASK_TARGET_STRIDE, 1),
+                     max(m.shape[0] // MASK_TARGET_STRIDE, 1)),
+                    interpolation=cv2.INTER_LINEAR)
+                masks_q[i, j, :q.shape[0], :q.shape[1]] = (q >= 0.5)
+        if with_kps and "keypoints" in t and g:
+            kps[i, :g] = t["keypoints"][:g]
+    out = {"boxes": boxes, "labels": labels, "boxes_valid": valid}
+    if with_masks:
+        out["masks_q4"] = masks_q
+    if with_kps:
+        out["keypoints"] = kps
+    return out
 
 
 class DetectionLoader:
@@ -133,7 +164,7 @@ class DetectionLoader:
         host_targets = [t for _, t in items]
         for k, t in enumerate(host_targets):
             t["is_padding"] = n_real is not None and k >= n_real
-        tgt = _pad_targets(host_targets, self.max_gt)
+        tgt = _pad_targets(host_targets, self.max_gt, bucket=bucket)
         return batch, tgt, host_targets
 
 

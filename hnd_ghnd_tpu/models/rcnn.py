@@ -157,6 +157,15 @@ class RCNN:
                 proposals, prop_valid, targets, roi_rng)
             roi_losses = self.roi_heads.loss(params["roi_heads"], fpn_feats,
                                              image_shape, sampled)
+            if self.roi_heads.mask_head is not None and "masks_q4" in targets:
+                roi_losses.update(self.roi_heads.mask_loss(
+                    params["roi_heads"], fpn_feats, image_shape, sampled,
+                    targets["masks_q4"]))
+            if (self.roi_heads.keypoint_head is not None
+                    and "keypoints" in targets):
+                roi_losses.update(self.roi_heads.keypoint_loss(
+                    params["roi_heads"], fpn_feats, image_shape, sampled,
+                    targets["keypoints"]))
             losses = {**roi_losses, **rpn_losses}
             return losses, new_state, inter
 

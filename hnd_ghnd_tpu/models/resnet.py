@@ -89,19 +89,28 @@ class ResNetBody:
         keys = jax.random.split(rng, 4)
         width = int(planes * self.base_width / 64.0) * self.groups
         p: Params = {}
+        # The branch-final frozen BN is zero-initialized so every residual
+        # block starts as identity: with folded (identity) frozen BN there is
+        # no normalization at random init, and variance would otherwise
+        # double through each of the 16 blocks (~2^16x by layer4).  Converted
+        # checkpoints overwrite these scales with real folded statistics.
+        def zero_bn(ch):
+            bn = L.frozen_bn_init(ch)
+            return {"scale": bn["scale"] * 0.0, "bias": bn["bias"]}
+
         if self.block == "bottleneck":
             p["conv1"] = L.conv_init(keys[0], 1, 1, inplanes, width)
             p["bn1"] = L.frozen_bn_init(width)
             p["conv2"] = L.conv_init(keys[1], 3, 3, width // self.groups, width)
             p["bn2"] = L.frozen_bn_init(width)
             p["conv3"] = L.conv_init(keys[2], 1, 1, width, planes * 4)
-            p["bn3"] = L.frozen_bn_init(planes * 4)
+            p["bn3"] = zero_bn(planes * 4)
             out_ch = planes * 4
         else:
             p["conv1"] = L.conv_init(keys[0], 3, 3, inplanes, planes)
             p["bn1"] = L.frozen_bn_init(planes)
             p["conv2"] = L.conv_init(keys[1], 3, 3, planes, planes)
-            p["bn2"] = L.frozen_bn_init(planes)
+            p["bn2"] = zero_bn(planes)
             out_ch = planes
         if has_downsample:
             p["downsample"] = {

@@ -332,3 +332,125 @@ class RoIHeads:
             sel_on.astype(jnp.float32))
         return {"loss_classifier": cls_losses.mean(),
                 "loss_box_reg": box_losses.mean()}
+
+    # --------------------------------------------------- mask/keypoint train
+    MAX_POSITIVES = 128  # >= 512 * 0.25, the sampler's positive cap
+
+    def _select_positives(self, sampled, max_pos: int):
+        """Fixed-size gather of the positive sample slots per image."""
+        sel_boxes, cls, _, sel_pos, _, sel_gt = sampled
+
+        def per_image(boxes, labels, pos, gt_idx):
+            order = jnp.argsort(~pos)  # positives first (stable)
+            idx = order[:max_pos]
+            return (boxes[idx], labels[idx], pos[idx], gt_idx[idx])
+
+        return jax.vmap(per_image)(sel_boxes, cls, sel_pos, sel_gt)
+
+    def mask_loss(self, params: Params, feats, image_shape, sampled,
+                  gt_masks_q: jnp.ndarray, mask_stride: int = 4):
+        """Mask R-CNN training loss (torchvision maskrcnn_loss semantics):
+        BCE between the positive proposals' predicted 28x28 mask (at the gt
+        class channel) and the gt mask projected onto the proposal box.
+
+        gt_masks_q: [B, G, H/stride, W/stride] uint8 gt masks at reduced
+        resolution (the projection roi_align samples bilinearly, so a
+        stride-4 raster loses little; the reference projects from full res).
+        """
+        boxes, labels, pos, gt_idx = self._select_positives(
+            sampled, self.MAX_POSITIVES)
+        m = 2 * self.cfg.mask_pool_size  # 28
+
+        def per_image(feats_i, bxs, lbl, p, gidx, masks_q):
+            pooled = multiscale_roi_align(
+                feats_i[:4], bxs, image_shape, self.cfg.mask_pool_size,
+                boxes_valid=p > 0)
+            logits = self.mask_head.apply(params["mask_head"], pooled)
+            sel = jnp.take_along_axis(
+                logits, lbl[:, None, None, None], axis=-1)[..., 0]  # [P,28,28]
+            own_mask = masks_q[gidx].astype(jnp.float32)[..., None]  # [P,h,w,1]
+            targets = _project_boxes_on_masks(own_mask, bxs, 1.0 / mask_stride, m)
+            bce = _bce_logits(sel, targets)
+            per_roi = bce.mean(axis=(1, 2))
+            return jnp.sum(per_roi * p) / jnp.maximum(p.sum(), 1.0)
+
+        losses = jax.vmap(per_image)(list(feats), boxes, labels,
+                                     pos.astype(jnp.float32), gt_idx,
+                                     gt_masks_q)
+        return {"loss_mask": losses.mean()}
+
+    def keypoint_loss(self, params: Params, feats, image_shape, sampled,
+                      gt_keypoints: jnp.ndarray):
+        """Keypoint R-CNN training loss (torchvision keypointrcnn_loss):
+        cross-entropy over the 56x56 heatmap grid at each visible gt
+        keypoint that falls inside its positive proposal."""
+        boxes, labels, pos, gt_idx = self._select_positives(
+            sampled, self.MAX_POSITIVES)
+        hm = 4 * self.cfg.keypoint_pool_size  # 56
+
+        def per_image(feats_i, bxs, p, gidx, kps):
+            pooled = multiscale_roi_align(
+                feats_i[:4], bxs, image_shape, self.cfg.keypoint_pool_size,
+                boxes_valid=p > 0)
+            logits = self.keypoint_head.apply(params["keypoint_head"], pooled)
+            # [P, 56, 56, K] -> [P, K, 56*56]
+            plogits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(
+                logits.shape[0], logits.shape[3], -1)
+            own_kp = kps[gidx]  # [P, K, 3]
+            x1, y1 = bxs[:, 0:1], bxs[:, 1:2]
+            w = jnp.maximum(bxs[:, 2:3] - x1, 1e-6)
+            h = jnp.maximum(bxs[:, 3:4] - y1, 1e-6)
+            gx = jnp.floor((own_kp[..., 0] - x1) * hm / w)
+            gy = jnp.floor((own_kp[..., 1] - y1) * hm / h)
+            inside = (gx >= 0) & (gx < hm) & (gy >= 0) & (gy < hm)
+            # boundary snap (torchvision keypoints_to_heatmap)
+            gx = jnp.clip(gx, 0, hm - 1)
+            gy = jnp.clip(gy, 0, hm - 1)
+            valid = inside & (own_kp[..., 2] > 0) & (p > 0)[:, None]
+            target = (gy * hm + gx).astype(jnp.int32)  # [P, K]
+            logp = jax.nn.log_softmax(plogits, axis=-1)
+            ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+            vf = valid.astype(jnp.float32)
+            return jnp.sum(ce * vf) / jnp.maximum(vf.sum(), 1.0)
+
+        losses = jax.vmap(per_image)(list(feats), boxes,
+                                     pos.astype(jnp.float32), gt_idx,
+                                     gt_keypoints)
+        return {"loss_keypoint": losses.mean()}
+
+
+def _project_boxes_on_masks(masks: jnp.ndarray, boxes: jnp.ndarray,
+                            spatial_scale: float, out_size: int) -> jnp.ndarray:
+    """RoIAlign each box over ITS OWN mask raster (torchvision
+    project_masks_on_boxes): masks [P, h, w, 1], boxes [P, 4] image coords.
+    Returns [P, out, out] float targets."""
+    p, h, w, _ = masks.shape
+
+    def one(mask, box):
+        x1, y1, x2, y2 = box * spatial_scale
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        bin_w = roi_w / out_size
+        bin_h = roi_h / out_size
+        s = 2  # fixed sampling ratio (tv uses adaptive ceil(bin); close)
+        bins = jnp.arange(out_size, dtype=jnp.float32)
+        samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        ys = y1 + bins[:, None] * bin_h + samp[None, :] * bin_h  # [out, s]
+        xs = x1 + bins[:, None] * bin_w + samp[None, :] * bin_w
+        from hnd_ghnd_tpu.ops.roi_align import _bilinear_params
+        y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(
+            ys, jnp.float32(h))
+        x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(
+            xs, jnp.float32(w))
+        flat = mask[:, :, 0]
+        acc = 0.0
+        ok = (y_ok.astype(jnp.float32)[:, :, None, None]
+              * x_ok.astype(jnp.float32)[None, None, :, :])
+        for yi, wy in ((y_lo, wy_lo), (y_hi, wy_hi)):
+            for xi, wx in ((x_lo, wx_lo), (x_hi, wx_hi)):
+                vals = flat[yi[:, :, None, None], xi[None, None, :, :]]
+                wgt = wy[:, :, None, None] * wx[None, None, :, :] * ok
+                acc = acc + vals * wgt
+        return acc.mean(axis=(1, 3))  # average the 2x2 samples -> [out, out]
+
+    return jax.vmap(one)(masks, boxes)

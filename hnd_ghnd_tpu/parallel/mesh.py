@@ -203,18 +203,7 @@ def make_detection_train_step(model, optimizer,
         new_params = optax.apply_updates(params, updates)
         return loss, loss_dict, new_params, new_state, new_opt_state
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1, 2))
-
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, repl,
-                      {"images": data, "image_sizes": data,
-                       "original_sizes": data},
-                      {"boxes": data, "labels": data, "boxes_valid": data},
-                      repl),
-        out_shardings=(repl, repl, repl, repl, repl),
-        donate_argnums=(0, 1, 2),
-    )
+    # sharding is placement-driven: callers replicate params/opt state and
+    # put_batch-shard the batch/targets (targets may carry model-dependent
+    # extras like masks_q4/keypoints, so no fixed sharding pytree here)
+    return jax.jit(step, donate_argnums=(0, 1, 2))
