@@ -107,7 +107,15 @@ def get_bottleneck_transformer(transformer_config: Optional[Dict[str, Any]]):
 
 
 def roundtrip(z: jnp.ndarray, num_bits: int = 8) -> jnp.ndarray:
-    """Quantize -> dequantize in one jittable call (the common eval path)."""
+    """Quantize -> dequantize in one jittable call (the common eval path).
+
+    On TPU this dispatches to the fused Pallas kernels
+    (ops/pallas_quant.py, bit-exact with the jnp formulation)."""
     if num_bits == 16:
         return z.astype(jnp.float16).astype(jnp.float32)
-    return dequantize_tensor(quantize_tensor(z, num_bits))
+    import jax
+    if num_bits <= 8 and jax.default_backend() == "tpu":
+        from hnd_ghnd_tpu.ops.pallas_quant import (pallas_dequantize,
+                                                   pallas_quantize)
+        return pallas_dequantize(pallas_quantize(z, num_bits)).astype(z.dtype)
+    return dequantize_tensor(quantize_tensor(z, num_bits)).astype(z.dtype)

@@ -87,16 +87,18 @@ def _bilinear(feat, y, x, h, w):
 
 def quantize_tensor(x: np.ndarray, num_bits: int = 8):
     """Affine uint quantization with the exact arithmetic the reference's
-    myutils ``tensor_util.quantize_tensor`` performs (gemmlowp-style:
-    scale from min/max, integer zero point clamped to the quant range)."""
-    qmin = 0.0
-    qmax = 2.0 ** num_bits - 1.0
-    min_val = float(x.min())
-    max_val = float(x.max())
-    scale = (max_val - min_val) / (qmax - qmin)
-    initial_zero_point = qmin - min_val / scale
+    myutils ``tensor_util.quantize_tensor`` performs (gemmlowp-style: scale
+    from min/max, integer zero point clamped to the quant range).  All
+    arithmetic in float32 — the reference operates on f32 torch tensors."""
+    qmin = np.float32(0.0)
+    qmax = np.float32(2.0 ** num_bits - 1.0)
+    min_val = x.astype(np.float32).min()
+    max_val = x.astype(np.float32).max()
+    scale = np.float32((max_val - min_val) / (qmax - qmin))
+    initial_zero_point = np.float32(qmin - min_val / scale)
     zero_point = int(np.clip(initial_zero_point, qmin, qmax))
-    qx = np.clip(zero_point + x / scale, qmin, qmax).round()
+    qx = np.clip(np.float32(zero_point) + x.astype(np.float32) / scale,
+                 qmin, qmax).round()
     return qx.astype(np.uint8), np.float32(scale), zero_point
 
 
