@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 V100_BASELINE_IMG_S = 10.0
-BATCH = 8
+BATCH = 24
 BUCKET = (832, 1344)
 WARMUP = 3
 ITERS = 10
