@@ -6,6 +6,15 @@ FPN levels P2..P5 — src/models/org/rcnn.py:196-199, :261-265, :334-338).
 
 TPU formulation
 ---------------
+Why an XLA gather and not a hand-written Pallas kernel: RoIAlign reads ~4
+corner vectors per sample point — for 1000 RoIs x 7x7 bins x 2x2 samples
+that is ~200MB of gather traffic at C=256.  A DMA-stripe Pallas kernel must
+fetch a conservatively-sized window per RoI (level assignment bounds RoIs to
+28-56 feature rows, so a 64x64xC window ~ 4MB), i.e. ~4GB of HBM traffic for
+the same work — 20x worse.  The gather IS the bandwidth-optimal program, and
+XLA's TPU gather lowering is efficient for contiguous [*, C] rows, so this op
+stays in XLA by design.
+
 All FPN levels are flattened and concatenated into one [sum(Hl*Wl), C] table.
 Each RoI picks its level with the canonical FPN heuristic
 (floor(4 + log2(sqrt(area)/224 + eps)), clamped to [2, 5]) which becomes a
