@@ -15,12 +15,10 @@ cost_analyzer payload studies, RGB-input split deployments).
 from __future__ import annotations
 
 import io
-from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
-from hnd_ghnd_tpu.codec.quantizer import QuantizedTensor
 
 
 def _quantize_np(x: np.ndarray, num_bits: int = 8):

@@ -33,7 +33,6 @@ from hnd_ghnd_tpu.models.fpn import FPN
 from hnd_ghnd_tpu.models.resnet import ResNetBody
 from hnd_ghnd_tpu.models.roi_heads import RoIConfig, RoIHeads
 from hnd_ghnd_tpu.models.rpn import RPN, RPNConfig
-from hnd_ghnd_tpu.ops import boxes as box_ops
 
 Params = Dict[str, Any]
 

@@ -16,7 +16,6 @@ Dynamic-shape surgery for TPU:
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -14,13 +14,12 @@ The TPU-native replacement is a single-controller SPMD design:
     compiler-scheduled overlap;
   * metric "sync" is free — loss scalars are already global reductions.
 
-bf16 policy: matmul/conv inputs bfloat16, accumulation and parameters fp32
-(layers.py sets preferred_element_type), optimizer in fp32.
+bf16 policy: matmul/conv inputs bfloat16 (the MXU accumulates bf16 operands
+in fp32 internally), parameters and optimizer state fp32.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.models.factory import get_model

@@ -12,11 +12,9 @@ to mesh size (DDP process-group flags have no analog).
 from __future__ import annotations
 
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.distill.box import DistillationBox

@@ -27,6 +27,8 @@ def main():
     p.add_argument("--distill_steps", type=int, default=400)
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--out", default="/tmp/e2e_demo")
+    p.add_argument("--distill_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     from fixtures import make_coco_fixture
@@ -114,8 +116,10 @@ def main():
               "backbone.body.layer4", "backbone.fpn", "rpn", "roi_heads"]
     box = DistillationBox(teacher, student, criterion)
     dopt, _ = build_optimizer({"type": "Adam", "params": {"lr": 1e-3}})
-    dstep = make_distill_train_step(box, dopt, frozen,
-                                    compute_dtype=jnp.bfloat16, donate=False)
+    dstep = make_distill_train_step(
+        box, dopt, frozen, donate=False,
+        compute_dtype=jnp.bfloat16 if args.distill_dtype == "bfloat16"
+        else jnp.float32)
     dopt_state = dopt.init(s_params)
     losses = []
     done = 0
@@ -132,10 +136,14 @@ def main():
             if done >= args.distill_steps:
                 break
 
+    print("== student eval (no transformer) ==", flush=True)
+    sev_raw = common.evaluate(student, s_params, s_state, test_loader)
     print("== student eval (8-bit bottleneck transformer ON) ==", flush=True)
     sev = common.evaluate(student, s_params, s_state, test_loader,
                           use_bottleneck_transformer=True)
     student_map = float(sev.stats["bbox"][0])
+    print(f"student mAP raw={float(sev_raw.stats['bbox'][0]):.4f} "
+          f"quantized={student_map:.4f}")
 
     print(f"\nRESULT teacher mAP={teacher_map:.4f} "
           f"student mAP={student_map:.4f} "
