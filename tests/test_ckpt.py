@@ -1,0 +1,43 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+
+class TestCkpt:
+    def test_roundtrip_all_fields(self, tmp_path):
+        params = {"a": {"w": jnp.ones((3, 4))}, "b": jnp.zeros(2)}
+        state = {"bn": {"mean": jnp.full((2,), 0.5)}}
+        opt = {"mu": jnp.ones(2)}
+        path = str(tmp_path / "ckpt" / "model.pt")
+        ckpt_util.save_ckpt(path, params=params, state=state, opt_state=opt,
+                            best_value=0.371, config={"x": 1},
+                            args={"seed": 3})
+        assert ckpt_util.check_if_exists(path)
+        payload = ckpt_util.load_ckpt(path)
+        np.testing.assert_array_equal(payload["params"]["a"]["w"],
+                                      np.ones((3, 4)))
+        assert payload["best_value"] == 0.371
+        assert payload["config"] == {"x": 1}
+        assert payload["args"]["seed"] == 3
+        np.testing.assert_array_equal(payload["state"]["bn"]["mean"],
+                                      np.full((2,), 0.5))
+
+    def test_partial_payload(self, tmp_path):
+        path = str(tmp_path / "p.pt")
+        ckpt_util.save_ckpt(path, params={"w": jnp.ones(1)})
+        payload = ckpt_util.load_ckpt(path)
+        assert payload["state"] is None and payload["opt_state"] is None
+
+    def test_atomic_write_no_partial_file(self, tmp_path):
+        path = str(tmp_path / "a.pt")
+        ckpt_util.save_ckpt(path, params={"w": jnp.ones(1)})
+        assert not os.path.exists(path + ".tmp")
+
+    def test_check_if_exists_none(self):
+        assert not ckpt_util.check_if_exists(None)
+        assert not ckpt_util.check_if_exists("/nonexistent/x.pt")
