@@ -53,7 +53,9 @@ def train(model, params, state, config, args, mesh):
         # (src/models/org/rcnn.py:399-404)
         frozen = list(frozen) + ["backbone.body.conv1", "backbone.body.bn1",
                                  "backbone.body.layer1"]
-    step = make_detection_train_step(model, optimizer, frozen, mesh=mesh)
+    step = make_detection_train_step(
+        model, optimizer, frozen, mesh=mesh,
+        compute_dtype=common.compute_dtype_from_config(config))
 
     opt_state = optimizer.init(params)
     best_val_map = 0.0

@@ -112,6 +112,14 @@ def loaders_from_config(config: Dict[str, Any], model_kind: str,
         shard_index=shard_index, num_shards=num_shards)
 
 
+def compute_dtype_from_config(config) -> "jax.numpy.dtype":
+    """tpu.compute_dtype config knob: bfloat16 (default, throughput) or
+    float32 (distillation converges faster per step; see BASELINE.md)."""
+    import jax.numpy as jnp
+    name = (config.get("tpu", {}) or {}).get("compute_dtype", "bfloat16")
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
 def keypoint_min_sizes(model_kind: str, training: bool):
     """KeypointRCNN trains at random min sides 640..800
     (reference src/models/org/rcnn.py:325-326)."""

@@ -59,8 +59,9 @@ def distill(teacher_pack, student_pack, config, args, mesh):
                                    steps_per_epoch, warmup)
     box = DistillationBox(teacher, student, train_cfg["criterion"])
     frozen = student_cfg.get("frozen_modules", [])
-    step = make_distill_train_step(box, optimizer, frozen, mesh=mesh,
-                                   donate=False)
+    step = make_distill_train_step(
+        box, optimizer, frozen, mesh=mesh, donate=False,
+        compute_dtype=common.compute_dtype_from_config(config))
 
     opt_state = optimizer.init(s_params)
     best_val_map = 0.0
