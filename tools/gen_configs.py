@@ -65,9 +65,9 @@ def criterion_block(layers):
             "terms": terms}
 
 
-def tpu_block():
+def tpu_block(compute_dtype="bfloat16"):
     return {"buckets": [[832, 1344], [1344, 832]],
-            "compute_dtype": "bfloat16", "mesh_axis": "data"}
+            "compute_dtype": compute_dtype, "mesh_axis": "data"}
 
 
 def write(path, cfg):
@@ -157,7 +157,7 @@ def gen_distill(method, bchs, layers):
                                              "gamma": 0.1}},
                 },
                 "test": {"batch_size": 1},
-                "tpu": tpu_block(),
+                "tpu": tpu_block("float32"),
             }
             if det == "keypoint_rcnn":
                 for key in ("teacher_model", "student_model"):
