@@ -174,10 +174,12 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
                           min_sizes: Sequence[int] = (800,),
                           max_size: int = 1333,
                           buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
-                          shard_index: int = 0, num_shards: int = 1):
+                          shard_index: int = 0, num_shards: int = 1,
+                          eval_batch_size: int = 1):
     """Build (train, val, test) loaders from the reference dataset YAML block
-    (src/utils/data_util.py:18-48).  val/test use batch_size=1 like the
-    reference (data_util.py:44-47)."""
+    (src/utils/data_util.py:18-48).  val/test default to batch_size=1 like
+    the reference (data_util.py:44-47); ``eval_batch_size`` raises it for
+    TPU throughput (remainder batches are padded and unpadded around eval)."""
     splits = dataset_config["splits"]
     num_workers = int(dataset_config.get("num_workers", 4))
     out = []
@@ -190,7 +192,8 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
             with_masks=with_masks, with_keypoints=with_keypoints)
         training = name == "train"
         out.append(DetectionLoader(
-            ds, batch_size if training else 1, training=training,
+            ds, batch_size if training else eval_batch_size,
+            training=training,
             min_sizes=min_sizes, max_size=max_size, buckets=buckets,
             num_workers=num_workers,
             shard_index=shard_index if training else 0,

@@ -1,20 +1,25 @@
-"""Pallas TPU kernel for the affine bottleneck quantizer.
+"""Pallas TPU kernels for the affine bottleneck quantizer.
 
 The quantize/dequantize round-trip runs on every eval forward and on every
-edge->server wire transmission (codec/quantizer.py), always on the same
-fixed-shape bottleneck tensor.  The jnp reference implementation materializes
-the scaled tensor in HBM between ops; this kernel fuses scale computation,
-affine transform, rounding, clamping, and the uint8 cast into one VMEM pass.
+edge->server wire transmission (codec/quantizer.py), always on fixed-shape
+bottleneck tensors.  These kernels fuse the affine transform, rounding and
+clamping into single VMEM passes, gridded in chunks so arbitrarily large
+tensors never exceed VMEM (a [B, 836, 1348, 3] bottleneck is ~27MB — bigger
+than the 16MB VMEM budget, so blocks are mandatory, not an optimization).
 
-The min/max reduction runs as a first grid pass into SMEM scratch, the
-quantization as a second pass — a standard two-phase Pallas reduction
-(guide: "Patterns: Quantization Kernels").  Falls back to the jnp path off
-TPU (CPU tests run the interpreter).
+Structure: global min/max via a plain XLA reduction (already optimal),
+then (1) a gridded elementwise quantize kernel reading the scalar
+(min, max) from SMEM and (2) a gridded dequantize kernel.
+Bit-exact with the reference formula (same divide/round/clamp arithmetic,
+f32) up to one hardware caveat: TPU f32 division is reciprocal-based and can
+differ from IEEE by 1 ulp, which flips values landing exactly on a .5
+rounding boundary to the adjacent quantization level (~1e-7 of elements on
+real data, |error| = 1 level = half the reference's own rounding error).
+Interpreter mode (CPU tests) is exactly bit-identical.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,86 +28,97 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hnd_ghnd_tpu.codec.quantizer import QuantizedTensor
 
+# 512K f32 = 2MB per block: safely inside VMEM with double buffering
+_CHUNK = 512 * 1024
+_LANES = 1024  # chunk rows are [_CHUNK // _LANES, _LANES]
 
-def _quant_kernel(x_ref, minmax_ref, q_ref, scale_ref, zp_ref, *,
-                  num_bits: int):
+
+def _pad_chunks(flat: jnp.ndarray) -> jnp.ndarray:
+    n = flat.shape[0]
+    padded = pl.cdiv(n, _CHUNK) * _CHUNK
+    if padded != n:
+        # edge-pad so the padding never perturbs min/max
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(flat[-1:], (padded - n,))])
+    return flat.reshape(-1, _CHUNK // _LANES, _LANES)
+
+
+def _quant_kernel(minmax_ref, x_ref, q_ref, *, num_bits: int):
     qmax = 2.0 ** num_bits - 1.0
     min_val = minmax_ref[0, 0]
     max_val = minmax_ref[0, 1]
     scale = (max_val - min_val) / qmax
-    # exact division (not reciprocal-multiply): bit-parity with the
-    # reference formula at .5 rounding boundaries
+    # exact division (not reciprocal-multiply) for bit-parity with the
+    # reference at .5 rounding boundaries; truncated integer zero point
     zp = jnp.clip(-min_val / scale, 0.0, qmax).astype(jnp.int32).astype(jnp.float32)
     q = jnp.clip(zp + x_ref[:] / scale, 0.0, qmax)
     # Mosaic lacks a direct f32->uint8 cast; emit rounded f32, cast outside
-    # (XLA fuses the cast into the output copy)
     q_ref[:] = jnp.round(q)
-    scale_ref[0, 0] = scale
-    zp_ref[0, 0] = zp
 
 
-def _minmax_kernel(x_ref, out_ref):
-    out_ref[0, 0] = jnp.min(x_ref[:])
-    out_ref[0, 1] = jnp.max(x_ref[:])
+def _dequant_kernel(meta_ref, q_ref, out_ref):
+    scale = meta_ref[0, 0]
+    zp = meta_ref[0, 1]
+    # widen uint8 through int32 (no direct uint8->f32 cast in Mosaic)
+    q = q_ref[:].astype(jnp.int32).astype(jnp.float32)
+    out_ref[:] = scale * (q - zp)
 
 
 @functools.partial(jax.jit, static_argnames=("num_bits", "interpret"))
 def pallas_quantize(x: jnp.ndarray, num_bits: int = 8,
                     interpret: bool = False) -> QuantizedTensor:
-    """Affine uint8 quantization as a fused Pallas kernel.
-
-    Bit-exact with codec.quantizer.quantize_tensor (same clamp/round/trunc
-    arithmetic), restricted to num_bits <= 8 (uint8 storage).
-    """
+    """Affine uint8 quantization, bit-exact with
+    codec.quantizer.quantize_tensor; gridded for any tensor size."""
     assert num_bits <= 8
     orig_shape = x.shape
-    flat = x.reshape(1, -1).astype(jnp.float32)
+    n = x.size
+    chunks = _pad_chunks(x.reshape(-1).astype(jnp.float32))
+    n_chunks = chunks.shape[0]
 
-    minmax = pl.pallas_call(
-        _minmax_kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        interpret=interpret,
-    )(flat)
-
-    q, scale, zp = pl.pallas_call(
+    # global min/max as a plain XLA reduction (optimal; a per-chunk Pallas
+    # reduction output would violate the (8, 128) SMEM tiling constraint)
+    minmax = jnp.stack([chunks.min(), chunks.max()]).reshape(1, 2)
+    q = pl.pallas_call(
         functools.partial(_quant_kernel, num_bits=num_bits),
-        out_shape=(
-            jax.ShapeDtypeStruct(flat.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, _CHUNK // _LANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _CHUNK // _LANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(chunks.shape, jnp.float32),
         interpret=interpret,
-    )(flat, minmax)
+    )(minmax, chunks)
 
-    return QuantizedTensor(q.astype(jnp.uint8).reshape(orig_shape),
-                           scale[0, 0], zp[0, 0])
-
-
-def _dequant_kernel(q_ref, meta_ref, out_ref):
-    scale = meta_ref[0, 0]
-    zp = meta_ref[0, 1]
-    # Mosaic has no direct uint8->f32 cast; widen through int32
-    q = q_ref[:].astype(jnp.int32).astype(jnp.float32)
-    out_ref[:] = scale * (q - zp)
+    qmax = 2.0 ** num_bits - 1.0
+    scale = (minmax[0, 1] - minmax[0, 0]) / qmax
+    zp = jnp.clip(-minmax[0, 0] / scale, 0.0, qmax).astype(jnp.int32).astype(jnp.float32)
+    q8 = q.reshape(-1)[:n].astype(jnp.uint8).reshape(orig_shape)
+    return QuantizedTensor(q8, scale, zp)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_dequantize(q: QuantizedTensor, interpret: bool = False) -> jnp.ndarray:
-    flat = q.tensor.reshape(1, -1)
+    orig_shape = q.tensor.shape
+    n = q.tensor.size
+    chunks = _pad_chunks(q.tensor.reshape(-1))
+    n_chunks = chunks.shape[0]
     meta = jnp.stack([q.scale, q.zero_point]).reshape(1, 2).astype(jnp.float32)
     out = pl.pallas_call(
         _dequant_kernel,
-        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, _CHUNK // _LANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _CHUNK // _LANES, _LANES),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(chunks.shape, jnp.float32),
         interpret=interpret,
-    )(flat, meta)
-    return out.reshape(q.tensor.shape)
+    )(meta, chunks)
+    return out.reshape(-1)[:n].reshape(orig_shape)

@@ -104,12 +104,14 @@ def loaders_from_config(config: Dict[str, Any], model_kind: str,
     buckets = tuple(tuple(b) for b in tpu_cfg.get("buckets", DEFAULT_BUCKETS))
     min_sizes = tuple(tpu_cfg.get("min_sizes", min_sizes))
     max_size = int(tpu_cfg.get("max_size", 1333))
+    eval_bs = int((config.get("test", {}) or {}).get("batch_size", 1))
     return get_coco_data_loaders(
         config["dataset"], batch_size,
         with_masks=model_kind == "mask_rcnn",
         with_keypoints=model_kind == "keypoint_rcnn",
         min_sizes=min_sizes, buckets=buckets, max_size=max_size,
-        shard_index=shard_index, num_shards=num_shards)
+        shard_index=shard_index, num_shards=num_shards,
+        eval_batch_size=eval_bs)
 
 
 def compute_dtype_from_config(config) -> "jax.numpy.dtype":

@@ -32,6 +32,18 @@ class TestPallasQuantizer:
         np.testing.assert_allclose(np.asarray(dp), np.asarray(dj),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_large_tensor_near_exact(self):
+        # gridded path (multiple VMEM chunks); TPU division 1-ulp caveat
+        # means <= ~1e-6 of elements may sit one level off at .5 boundaries
+        rng = np.random.RandomState(7)
+        x = (rng.randn(2, 520, 1024, 3) * 4).astype(np.float32)
+        q = pallas_quantize(jnp.asarray(x), 8, interpret=True)
+        want_q, want_scale, _ = oracles.quantize_tensor(x, 8)
+        diff = np.abs(np.asarray(q.tensor).astype(int) - want_q.astype(int))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-5
+        assert float(q.scale) == pytest.approx(float(want_scale), rel=1e-6)
+
     def test_roundtrip_error_bounded_by_scale(self):
         rng = np.random.RandomState(4)
         x = jnp.asarray(rng.uniform(-2, 2, (1, 16, 16, 3)).astype(np.float32))
