@@ -57,6 +57,24 @@ class TestNMS:
         got_idx = np.where(keep)[0]
         assert set(got_idx) == set(want)
 
+    def test_suppression_revival_chain(self):
+        """Adversarial fixpoint case: A suppresses B; B would suppress C if
+        kept.  Greedy keeps A and C, drops only B — a naive one-shot
+        "suppressed by any higher-scoring overlap" heuristic would also drop
+        C.  Proves the fixpoint iterates past the first approximation."""
+        boxes = np.asarray([
+            [0.0, 0.0, 10.0, 10.0],    # A (score .9)
+            [3.0, 0.0, 13.0, 10.0],    # B overlaps A (iou ~0.54) (.8)
+            [6.0, 0.0, 16.0, 10.0],    # C overlaps B (~0.54), not A (.7)
+            [9.0, 0.0, 19.0, 10.0],    # D overlaps C (~0.54), not B (.6)
+        ], np.float32)
+        scores = np.asarray([0.9, 0.8, 0.7, 0.6], np.float32)
+        keep = np.asarray(nms_ops.nms_keep_mask(
+            jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+        np.testing.assert_array_equal(keep, [True, False, True, False])
+        want = oracles.greedy_nms(boxes, scores, 0.5)
+        assert set(np.where(keep)[0]) == set(want)
+
     def test_respects_valid_mask(self, rng):
         b = random_boxes(rng, 64)
         s = rng.rand(64).astype(np.float32)
