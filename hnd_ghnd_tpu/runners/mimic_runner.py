@@ -38,6 +38,9 @@ def get_argparser() -> argparse.ArgumentParser:
     parser.add_argument("-transform_bottleneck", action="store_true",
                         help="quantize/dequantize the bottleneck at eval")
     parser.add_argument("-skip_teacher_eval", action="store_true")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture an XLA profiler trace of the first "
+                             "training steps into this directory")
     return parser
 
 
@@ -82,18 +85,28 @@ def distill(teacher_pack, student_pack, config, args, mesh):
     num_epochs = int(train_cfg["num_epochs"])
     log_freq = int(train_cfg.get("log_freq", 1000))
     rng = jax.random.PRNGKey(args.seed)
+    profile_dir = getattr(args, "profile_dir", None)
+    profile_steps = 0
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         header = f"Epoch: [{epoch}]"
         for batch, _, _ in logger.log_every(train_loader, log_freq, header):
             rng, key = jax.random.split(rng)
+            if profile_dir and profile_steps == 2:  # skip compile steps
+                jax.profiler.start_trace(profile_dir)
             loss, loss_dict, s_params, s_state, opt_state = step(
                 t_params, t_state, s_params, s_state, opt_state,
                 put_batch({k: jnp.asarray(v) for k, v in batch.items()},
                           mesh), key)
             logger.update(loss=float(loss),
                           **{k: float(v) for k, v in loss_dict.items()})
+            if profile_dir:
+                profile_steps += 1
+                if profile_steps == 6:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                    profile_dir = None
 
         coco_evaluator = common.evaluate(
             student, s_params, s_state, val_loader,
