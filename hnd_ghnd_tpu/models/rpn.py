@@ -130,18 +130,29 @@ class RPN:
             top_scores.append(scores)
             top_lvl.append(jnp.full((boxes.shape[0], k), li, jnp.int32))
 
+        # Per-level NMS: level-categorized batched NMS never suppresses
+        # across levels, so running each level independently is exactly
+        # equivalent — and avoids the (sum n_l)^2 suppression matrix in
+        # favor of sum(n_l^2), ~5x less HBM traffic at COCO scale.
+        keep_masks = []
+        for li in range(len(top_boxes)):
+            bx = box_ops.clip_to_image(top_boxes[li], image_sizes[:, None, :])
+            top_boxes[li] = bx
+            va = box_ops.small_box_mask(bx, cfg.min_size)
+            keep_masks.append(jax.vmap(
+                lambda b, s, v: nms_ops.nms_keep_mask(b, s, cfg.nms_thresh, v)
+            )(bx, top_scores[li], va))
+
         boxes = jnp.concatenate(top_boxes, axis=1)      # [B, M, 4]
         scores = jnp.concatenate(top_scores, axis=1)    # [B, M]
-        lvls = jnp.concatenate(top_lvl, axis=1)         # [B, M]
+        keep = jnp.concatenate(keep_masks, axis=1)      # [B, M]
 
-        boxes = box_ops.clip_to_image(boxes, image_sizes[:, None, :])
-        valid = box_ops.small_box_mask(boxes, cfg.min_size)
-
-        def per_image(bx, sc, lv, va):
-            idx, ok = nms_ops.batched_nms(bx, sc, lv, cfg.nms_thresh, post_nms, va)
-            return bx[idx], ok
-
-        proposals, prop_valid = jax.vmap(per_image)(boxes, scores, lvls, valid)
+        # global top post_nms by score among survivors
+        neg_inf = jnp.finfo(scores.dtype).min
+        masked = jnp.where(keep, scores, neg_inf)
+        top_s, top_idx = jax.lax.top_k(masked, post_nms)  # [B, post_nms]
+        proposals = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        prop_valid = top_s > neg_inf
         return proposals, prop_valid, (obj_lvls, delta_lvls, anchors_np)
 
     # ------------------------------------------------------------------ loss
