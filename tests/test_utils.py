@@ -1,0 +1,71 @@
+import time
+
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.utils.logging import MetricLogger, SmoothedValue
+from hnd_ghnd_tpu.utils.profiling import StepTimer, trace
+from hnd_ghnd_tpu.utils.params import (count_params, get_by_path,
+                                       trainable_mask, updatable_param_names)
+
+
+class TestSmoothedValue:
+    def test_window_median_and_global_avg(self):
+        sv = SmoothedValue(window_size=3)
+        for v in (1.0, 2.0, 3.0, 4.0):
+            sv.update(v)
+        assert sv.median == 3.0          # window (2, 3, 4)
+        assert sv.avg == pytest.approx(3.0)
+        assert sv.global_avg == pytest.approx(2.5)
+        assert sv.max == 4.0 and sv.value == 4.0
+
+    def test_weighted_updates(self):
+        sv = SmoothedValue()
+        sv.update(2.0, n=3)
+        sv.update(4.0, n=1)
+        assert sv.global_avg == pytest.approx((2.0 * 3 + 4.0) / 4)
+
+
+class TestMetricLogger:
+    def test_log_every_passes_through(self, capsys):
+        logger = MetricLogger()
+        out = []
+        for x in logger.log_every(range(5), print_freq=2, header="T:"):
+            logger.update(loss=float(x))
+            out.append(x)
+        assert out == list(range(5))
+        text = capsys.readouterr().out
+        assert "T:" in text and "loss" in text and "Total time" in text
+
+
+class TestStepTimer:
+    def test_skips_compile_step(self):
+        t = StepTimer(skip_first=1)
+        for d in (0.2, 0.01, 0.01):
+            t.start()
+            time.sleep(d)
+            t.stop()
+        s = t.summary()
+        assert s["steps"] == 2
+        # load-independent: the kept steps' mean must undercut the excluded
+        # first ("compile") step
+        assert s["mean_s"] < t.times[0]
+
+    def test_trace_noop_without_dir(self):
+        with trace(None):
+            pass  # must not raise
+
+
+class TestParamPaths:
+    def test_get_by_path(self):
+        tree = {"a": {"b": {"c": 7}}}
+        assert get_by_path(tree, "a.b.c") == 7
+
+    def test_mask_and_names_and_count(self):
+        params = {"x": {"w": np.zeros((2, 3))},
+                  "y": {"z": {"w": np.zeros(5)}}}
+        mask = trainable_mask(params, ["y.z"])
+        assert mask["x"]["w"] is True
+        assert mask["y"]["z"]["w"] is False
+        assert updatable_param_names(params, ["y.z"]) == ["x.w"]
+        assert count_params(params) == 11
