@@ -108,7 +108,11 @@ class DetectionLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _prepare(self, index: int, rng: random.Random):
+    def _prepare(self, index: int):
+        # per-(seed, epoch, index) rng: deterministic regardless of the
+        # thread pool's completion order
+        rng = random.Random((self.seed * 1_000_003 + self.epoch) * 7919
+                            + index)
         img, target = self.dataset[index]
         oh, ow = img.shape[:2]
         if self.training and rng.random() < self.hflip_prob:
@@ -129,10 +133,9 @@ class DetectionLoader:
 
     def __iter__(self) -> Iterator[Tuple[Dict, Dict, List[Dict]]]:
         order = self._order()
-        rng = random.Random((self.seed + 1) * 7919 + self.epoch)
         pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
         try:
-            prepared = pool.map(lambda i: self._prepare(i, rng), order)
+            prepared = pool.map(self._prepare, order)
             # group into same-bucket batches (aspect-ratio grouping)
             pending: Dict[Tuple[int, int], List] = {}
             for img, target in prepared:

@@ -141,6 +141,22 @@ class TestLoader:
             total_real += sum(not t["is_padding"] for t in host)
         assert total_real == 10
 
+    def test_augmentation_deterministic_across_runs(self, fixture):
+        """Thread-pool completion order must not affect augmentation."""
+        img_dir, ann_file = fixture
+        ds = CocoDataset(img_dir, ann_file)
+        def collect(workers):
+            loader = DetectionLoader(ds, batch_size=2, training=True,
+                                     min_sizes=(64,), max_size=96,
+                                     buckets=((96, 96),),
+                                     num_workers=workers, seed=3)
+            return [(batch["images"].sum(), tuple(t["image_id"] for t in h))
+                    for batch, _, h in loader]
+        a = collect(1)
+        b = collect(4)
+        assert [x[1] for x in a] == [x[1] for x in b]
+        np.testing.assert_allclose([x[0] for x in a], [x[0] for x in b])
+
     def test_epoch_shuffle_changes_order(self, fixture):
         img_dir, ann_file = fixture
         ds = CocoDataset(img_dir, ann_file)
