@@ -1,0 +1,99 @@
+"""Ahead-of-time export of the split head/tail programs (jax.export).
+
+Production-serving counterpart to split/deploy.py: the edge HEAD and server
+TAIL are serialized as self-contained StableHLO artifacts (weights baked in)
+that a serving process can deserialize and call **without the model code or
+config** — the TPU-native analog of shipping a TorchScript/ONNX pair for the
+reference's RcnnHead/RcnnTail split (src/models/mimic/split_rcnn.py).
+
+Artifact layout (single file, pickle):
+  {"format": "hnd-ghnd-split-v1",
+   "bucket_hw": (H, W), "batch": B, "quant_bits": int|None,
+   "head": bytes (StableHLO), "tail": bytes (StableHLO),
+   "meta": {model kind, num_classes, bottleneck channels}}
+
+Head signature:  images [B, H, W, 3] f32 in [0,1]
+              -> (q_tensor, scale, zero_point, ext_logits)
+Tail signature:  (q_tensor, scale, zero_point, image_sizes [B,2] i32)
+              -> detection dict (padded-bucket coords)
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from hnd_ghnd_tpu.split.deploy import SplitRCNN, _split_head_params, _split_tail_params
+
+FORMAT = "hnd-ghnd-split-v1"
+
+
+def export_split(model, params, state, bucket_hw: Tuple[int, int],
+                 batch: int = 1, quant_bits: Optional[int] = 8) -> bytes:
+    """Serialize head+tail for one (bucket, batch) configuration."""
+    split = SplitRCNN(model, quant_bits)
+    head_params = _split_head_params(params)
+    tail_params = _split_tail_params(params)
+    l1_state = {"backbone": {"body": {
+        "layer1": state["backbone"]["body"]["layer1"]}}}
+
+    h, w = bucket_hw
+    images_spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
+
+    head_fn = jax.jit(lambda im: split.head_fn(head_params, l1_state, im))
+    head_exp = jexport.export(head_fn)(images_spec)
+
+    # derive the wire specs from an abstract head evaluation
+    q_aval, s_aval, zp_aval, _ = jax.eval_shape(head_fn, images_spec)
+    sizes_spec = jax.ShapeDtypeStruct((batch, 2), jnp.int32)
+    tail_fn = jax.jit(lambda q, s, zp, sz: split.tail_fn(
+        tail_params, l1_state, q, s, zp, sz, bucket_hw))
+    tail_exp = jexport.export(tail_fn)(
+        jax.ShapeDtypeStruct(q_aval.shape, q_aval.dtype),
+        jax.ShapeDtypeStruct(s_aval.shape, s_aval.dtype),
+        jax.ShapeDtypeStruct(zp_aval.shape, zp_aval.dtype),
+        sizes_spec)
+
+    return pickle.dumps({
+        "format": FORMAT,
+        "bucket_hw": tuple(bucket_hw),
+        "batch": batch,
+        "quant_bits": quant_bits,
+        "head": head_exp.serialize(),
+        "tail": tail_exp.serialize(),
+        "meta": {
+            "kind": model.kind,
+            "num_classes": model.num_classes,
+            "bottleneck_channel": getattr(model.bottleneck, "bch", None),
+        },
+    })
+
+
+class ExportedSplit:
+    """Deserialized split pair — callable without model code."""
+
+    def __init__(self, blob: bytes):
+        payload = pickle.loads(blob)
+        assert payload["format"] == FORMAT, "unknown artifact format"
+        self.bucket_hw = payload["bucket_hw"]
+        self.batch = payload["batch"]
+        self.quant_bits = payload["quant_bits"]
+        self.meta = payload["meta"]
+        self._head = jexport.deserialize(payload["head"])
+        self._tail = jexport.deserialize(payload["tail"])
+
+    def head(self, images):
+        """images [B, H, W, 3] f32 -> (q, scale, zero_point, ext_logits)."""
+        return self._head.call(images)
+
+    def tail(self, q, scale, zero_point, image_sizes):
+        """wire fields -> detection dict in padded-bucket coords."""
+        return self._tail.call(q, jnp.float32(scale), jnp.float32(zero_point),
+                               jnp.asarray(image_sizes, jnp.int32))
+
+
+def load_exported(blob: bytes) -> ExportedSplit:
+    return ExportedSplit(blob)

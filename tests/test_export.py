@@ -1,0 +1,56 @@
+"""AOT split export: serialized head/tail must reproduce the live split."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.models.factory import build_model
+from hnd_ghnd_tpu.split.deploy import SplitRCNN
+from hnd_ghnd_tpu.split.export import export_split, load_exported
+
+BUCKET = (96, 128)
+
+
+@pytest.fixture(scope="module")
+def student():
+    model = build_model({
+        "name": "faster_rcnn",
+        "backbone": {"name": "custom_resnet50",
+                     "params": {"pretrained": False, "freeze_layers": False,
+                                "layer1": {"name": "Bottleneck4LargeResNet",
+                                           "bottleneck_channel": 3}}},
+        "params": {"num_classes": 7},
+    })
+    params, state = model.init(jax.random.PRNGKey(0))
+    return model, params, state
+
+
+class TestExportedSplit:
+    def test_roundtrip_matches_live_split(self, student):
+        model, params, state = student
+        blob = export_split(model, params, state, BUCKET, batch=1,
+                            quant_bits=8)
+        assert isinstance(blob, bytes) and len(blob) > 100_000  # weights baked
+        exported = load_exported(blob)
+        assert exported.meta["kind"] == "faster_rcnn"
+        assert exported.meta["bottleneck_channel"] == 3
+
+        rng = np.random.RandomState(0)
+        images = jnp.asarray(
+            rng.rand(1, BUCKET[0], BUCKET[1], 3).astype(np.float32))
+        sizes = jnp.asarray([[96, 128]], jnp.int32)
+
+        split = SplitRCNN(model, 8)
+        head_jit, tail_call, _ = split.build(params, state)
+        want_q, want_s, want_zp, _ = head_jit(images)
+        got_q, got_s, got_zp, got_ext = exported.head(images)
+        np.testing.assert_array_equal(np.asarray(got_q), np.asarray(want_q))
+        assert float(got_s) == pytest.approx(float(want_s), rel=1e-6)
+
+        want = tail_call(want_q, want_s, want_zp, sizes, BUCKET)
+        got = exported.tail(got_q, float(got_s), float(got_zp), sizes)
+        np.testing.assert_allclose(np.asarray(got["boxes"]),
+                                   np.asarray(want["boxes"]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(got["labels"]),
+                                      np.asarray(want["labels"]))
