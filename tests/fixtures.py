@@ -14,7 +14,7 @@ from PIL import Image
 def make_coco_fixture(root: str, num_images: int = 8, seed: int = 0,
                       size_range=((60, 100), (60, 100)),
                       max_objects: int = 4, num_classes: int = 3,
-                      keypoints: bool = False):
+                      keypoints: bool = False, empty_prob: float = 0.0):
     """Write images/ + annotations.json under ``root``.
     Returns (img_dir, ann_file)."""
     rng = np.random.RandomState(seed)
@@ -27,7 +27,8 @@ def make_coco_fixture(root: str, num_images: int = 8, seed: int = 0,
         h = rng.randint(*size_range[0])
         w = rng.randint(*size_range[1])
         arr = rng.randint(0, 60, size=(h, w, 3), dtype=np.uint8)
-        n_obj = rng.randint(1, max_objects + 1)
+        n_obj = (0 if rng.rand() < empty_prob
+                 else rng.randint(1, max_objects + 1))
         for _ in range(n_obj):
             bw = rng.randint(8, max(9, w // 2))
             bh = rng.randint(8, max(9, h // 2))
