@@ -75,6 +75,18 @@ class TestSplitParity:
         np.testing.assert_array_equal(np.asarray(full["labels"]),
                                       dets["labels"])
 
+    def test_fp16_wire_variant(self, student):
+        model, params, state = student
+        images = make_images(seed=3)
+        split = SplitRCNN(model, quant_bits=16)
+        head_jit, tail_call, _ = split.build(params, state)
+        sizes = np.asarray([[96, 128]], np.int32)
+        wire = split.run_edge(head_jit, images, sizes, sizes)
+        p = unpack_wire(wire)
+        assert p.tensor.dtype == np.float16
+        dets = split.run_server(tail_call, wire, BUCKET)
+        assert np.isfinite(dets["boxes"]).all()
+
     def test_head_tail_param_partition_is_disjoint_and_complete(self, student):
         model, params, state = student
         _, _, (head_params, tail_params) = split_rcnn_model(
