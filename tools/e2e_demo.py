@@ -29,6 +29,9 @@ def main():
     p.add_argument("--out", default="/tmp/e2e_demo")
     p.add_argument("--distill_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--kind", default="faster_rcnn",
+                   choices=["faster_rcnn", "mask_rcnn", "keypoint_rcnn"])
+    p.add_argument("--skip_distill", action="store_true")
     args = p.parse_args()
 
     from fixtures import make_coco_fixture
@@ -41,9 +44,14 @@ def main():
                                             make_distill_train_step)
     from hnd_ghnd_tpu.runners import common
 
-    img_dir, ann_file = make_coco_fixture(args.out, num_images=args.images,
-                                          seed=11, num_classes=3)
-    ds = CocoDataset(img_dir, ann_file)
+    kind = args.kind
+    img_dir, ann_file = make_coco_fixture(
+        args.out, num_images=args.images, seed=11,
+        num_classes=1 if kind == "keypoint_rcnn" else 3,
+        keypoints=kind == "keypoint_rcnn")
+    ds = CocoDataset(img_dir, ann_file,
+                     with_masks=kind == "mask_rcnn",
+                     with_keypoints=kind == "keypoint_rcnn")
     buckets = ((96, 96),)
     train_loader = DetectionLoader(ds, 8, training=True, min_sizes=(64,),
                                    max_size=96, buckets=buckets,
@@ -51,11 +59,13 @@ def main():
     test_loader = DetectionLoader(ds, 1, training=False, min_sizes=(64,),
                                   max_size=96, buckets=buckets, num_workers=2)
 
+    num_classes = 2 if kind == "keypoint_rcnn" else 4
     teacher = build_model({
-        "name": "faster_rcnn",
+        "name": kind,
         "backbone": {"name": "resnet50",
                      "params": {"pretrained": False, "freeze_layers": False}},
-        "params": {"num_classes": 4}})
+        "params": {"num_classes": num_classes,
+                   **({"num_keypoints": 17} if kind == "keypoint_rcnn" else {})}})
     t_params, t_state = teacher.init(jax.random.PRNGKey(0))
 
     # ---- phase 1: overfit the teacher -------------------------------------
@@ -85,6 +95,10 @@ def main():
     print("== teacher eval ==", flush=True)
     tev = common.evaluate(teacher, t_params, t_state, test_loader)
     teacher_map = float(tev.stats["bbox"][0])
+    if args.skip_distill:
+        extra = {t: float(s[0]) for t, s in tev.stats.items()}
+        print(f"\nRESULT {kind} teacher stats: {extra}")
+        return
 
     # ---- phase 2: GHND-distill the student --------------------------------
     student = build_model({
