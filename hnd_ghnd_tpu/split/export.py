@@ -97,3 +97,45 @@ class ExportedSplit:
 
 def load_exported(blob: bytes) -> ExportedSplit:
     return ExportedSplit(blob)
+
+
+def main():
+    """CLI: serialize a trained bottleneck model's split pair.
+
+    python -m hnd_ghnd_tpu.split.export --config config/ghnd/... \
+        --out artifact.hgsplit [--bucket 832,1344] [--batch 1] [--bits 8]
+    """
+    import argparse
+    from hnd_ghnd_tpu.core.config import load_config, overwrite_config
+    from hnd_ghnd_tpu.models.factory import get_model
+    from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+    p = argparse.ArgumentParser(description="AOT split export")
+    p.add_argument("--config", required=True)
+    p.add_argument("--json", default=None)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bucket", default="832,1344")
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--bits", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    config = overwrite_config(load_config(args.config), args.json)
+    model_cfg = config.get("student_model", config.get("model"))
+    model, params, state = get_model(model_cfg, seed=args.seed)
+    if ckpt_util.check_if_exists(model_cfg.get("ckpt")):
+        payload = ckpt_util.load_ckpt(model_cfg["ckpt"])
+        params = payload["params"]
+        state = payload["state"] or state
+        print(f"loaded trained weights from {model_cfg['ckpt']}")
+    bucket = tuple(int(v) for v in args.bucket.split(","))
+    blob = export_split(model, params, state, bucket, args.batch,
+                        args.bits if args.bits > 0 else None)
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {len(blob) / 1e6:.1f} MB split artifact to {args.out} "
+          f"(bucket {bucket}, batch {args.batch}, {args.bits}-bit wire)")
+
+
+if __name__ == "__main__":
+    main()
