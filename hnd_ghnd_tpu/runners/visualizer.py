@@ -67,8 +67,17 @@ def main(args):
         state = payload["state"] or state
 
     os.makedirs(args.output, exist_ok=True)
+    # directories expand to their image files (reference get_file_path_list)
+    paths = []
+    for p_ in args.image:
+        if os.path.isdir(p_):
+            paths.extend(sorted(
+                os.path.join(p_, f) for f in os.listdir(p_)
+                if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))))
+        else:
+            paths.append(p_)
     jits = common.JitCache(model)
-    for path in args.image:
+    for path in paths:
         img = np.asarray(Image.open(path).convert("RGB"))
         pred = predict(model, params, state, img, config.get("tpu", {}),
                        args.transform_bottleneck, jits)
