@@ -74,12 +74,45 @@ def init_model(model: RCNN, seed: int = 0):
     return model.init(jax.random.PRNGKey(seed))
 
 
+def _load_ckpt_into(params, state, path: str):
+    """Load a checkpoint file into (params, state) — our pickle format or a
+    torch state_dict (converted).  Non-strict merge, like the reference's
+    load_ckpt(strict=False) path."""
+    from hnd_ghnd_tpu.models.convert import (convert_state_dict,
+                                             load_torch_file, merge_pytree)
+    from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+    try:
+        payload = ckpt_util.load_ckpt(path)
+        if isinstance(payload, dict) and "format_version" in payload:
+            params = merge_pytree(params, payload.get("params"))
+            if payload.get("state") is not None:
+                state = merge_pytree(state, payload["state"])
+            logger.info("loaded checkpoint %s", path)
+            return params, state
+    except Exception:
+        pass
+    try:
+        sd = load_torch_file(path)
+        p_up, s_up = convert_state_dict(sd)
+        logger.info("loaded converted torch checkpoint %s", path)
+        return merge_pytree(params, p_up), merge_pytree(state, s_up)
+    except Exception as e:
+        logger.warning("could not load checkpoint %s: %s", path, e)
+        return params, state
+
+
 def get_model(model_config: Dict[str, Any], seed: int = 0,
               pretrained_dir: Optional[str] = None):
-    """Build + initialize (+ optionally load converted zoo weights).
+    """Build + initialize (+ optionally load converted zoo weights and the
+    config's checkpoints).
 
+    Mirrors the reference construction order (src/models/__init__.py:38-57):
+    zoo weights (``pretrained``), then the ext classifier's ckpt, then the
+    model's own ckpt — each loaded only if present on disk.
     Returns (model, params, state).
     """
+    from hnd_ghnd_tpu.utils.ckpt import check_if_exists
+
     model = build_model(model_config)
     params, state = init_model(model, seed)
     if (model_config.get("params", {}) or {}).get("pretrained"):
@@ -92,6 +125,12 @@ def get_model(model_config: Dict[str, Any], seed: int = 0,
             logger.warning(
                 "pretrained=True but no converted checkpoint found "
                 "(zero-egress environment); using random init")
+    ext_ckpt = ((model_config.get("backbone", {}).get("ext_config") or {})
+                .get("ckpt"))
+    if check_if_exists(ext_ckpt):
+        params, state = _load_ckpt_into(params, state, ext_ckpt)
+    if check_if_exists(model_config.get("ckpt")):
+        params, state = _load_ckpt_into(params, state, model_config["ckpt"])
     return model, params, state
 
 

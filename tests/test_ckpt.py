@@ -38,6 +38,27 @@ class TestCkpt:
         ckpt_util.save_ckpt(path, params={"w": jnp.ones(1)})
         assert not os.path.exists(path + ".tmp")
 
+    def test_factory_autoloads_config_ckpt(self, tmp_path):
+        """get_model loads model_config['ckpt'] when present (reference
+        src/models/__init__.py:56 semantics)."""
+        from hnd_ghnd_tpu.models.factory import get_model
+        cfg = {"name": "faster_rcnn",
+               "backbone": {"name": "custom_resnet50",
+                            "params": {"pretrained": False,
+                                       "freeze_layers": False,
+                                       "layer1": {"name": "Bottleneck4LargeResNet",
+                                                  "bottleneck_channel": 3}}},
+               "params": {"num_classes": 5},
+               "ckpt": str(tmp_path / "m.pt")}
+        model, params, state = get_model(cfg, seed=0)
+        params["backbone"]["body"]["conv1"]["w"] = jnp.full_like(
+            params["backbone"]["body"]["conv1"]["w"], 0.123)
+        ckpt_util.save_ckpt(cfg["ckpt"], params=params, state=state,
+                            best_value=0.5)
+        _, params2, _ = get_model(cfg, seed=1)
+        v = np.asarray(params2["backbone"]["body"]["conv1"]["w"])
+        np.testing.assert_allclose(v, 0.123, rtol=1e-6)
+
     def test_check_if_exists_none(self):
         assert not ckpt_util.check_if_exists(None)
         assert not ckpt_util.check_if_exists("/nonexistent/x.pt")
