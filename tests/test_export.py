@@ -54,3 +54,5 @@ class TestExportedSplit:
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_array_equal(np.asarray(got["labels"]),
                                       np.asarray(want["labels"]))
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

@@ -61,3 +61,5 @@ class TestExtGating:
         s = np.asarray(jax.nn.softmax(logits, -1)).sum(-1)
         np.testing.assert_allclose(s, 1.0, rtol=1e-5)
         assert inter["backbone.body.layer1"] is None
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

@@ -1,0 +1,54 @@
+"""Driver-contract tests for __graft_entry__.
+
+dryrun_multichip must produce a green run under the container's *default*
+environment (JAX_PLATFORMS pinned to the tunneled TPU plugin) — round 1
+failed exactly here (MULTICHIP_r01.json rc=1: the dry run initialized the
+mismatched-libtpu TPU backend instead of the virtual CPU mesh).  These tests
+invoke it the way the driver does: a fresh subprocess, no helpful env vars.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_dryrun(extra_env):
+    env = dict(os.environ)
+    # Undo conftest's CPU pinning so the subprocess sees the container
+    # default (the driver does not set these).
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.pop("_GRAFT_DRYRUN_SUBPROCESS", None)
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_default_env():
+    """Exactly the driver's invocation: default container env, n=8."""
+    proc = _run_dryrun({})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): loss=" in proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_preinitialized_jax_falls_back():
+    """If jax was already initialized with too few devices, the dry run must
+    re-exec itself rather than fail."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("_GRAFT_DRYRUN_SUBPROCESS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.devices();"
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8): loss=" in proc.stdout

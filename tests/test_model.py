@@ -158,3 +158,5 @@ class TestMaskKeypoint:
         batch = make_batch(b=1)
         dets, _, _ = model.forward(params, state, batch, training=False)
         assert dets["keypoint_logits"].shape == (1, 100, 56, 56, 17)
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

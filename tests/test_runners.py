@@ -127,3 +127,5 @@ class TestExtRunner:
         ext_runner.main(args)
         out = capsys.readouterr().out
         assert "ROC-AUC" in out
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

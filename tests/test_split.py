@@ -131,3 +131,5 @@ class TestExtAbort:
                               ext_threshold=0.0)
         assert wire is not None
         assert unpack_wire(wire).ext_logits is not None
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

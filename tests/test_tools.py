@@ -62,3 +62,5 @@ class TestVisualizer:
         import cv2
         im = cv2.imread(out_path)
         assert im is not None and im.shape[2] == 3
+
+pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"
