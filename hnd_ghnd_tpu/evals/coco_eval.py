@@ -105,6 +105,56 @@ def oks_matrix(det_kps: np.ndarray, gts: List[dict]) -> np.ndarray:
     return out
 
 
+def match_greedy(ious_s: np.ndarray, g_ignore: np.ndarray,
+                 thrs: np.ndarray) -> np.ndarray:
+    """Greedy COCOeval matching over [D, G] IoUs (gts sorted
+    non-ignored-first).  Returns [T, D] matched-gt index (-1 = unmatched).
+
+    Dispatches to the native coco_match (native/cocomask/cocomask.cpp) —
+    the pycocotools-C analog the reference relies on for val2017-scale eval
+    (src/utils/coco_eval_util.py:295-340) — with a numpy fallback that
+    replicates the published loop exactly (later gt wins IoU ties; ignored
+    gts rematchable, reachable only when no non-ignored gt qualifies)."""
+    n_d, n_g = ious_s.shape
+    n_t = len(thrs)
+    from hnd_ghnd_tpu.evals.mask_rle import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        ious_c = np.ascontiguousarray(ious_s, dtype=np.float64)
+        gig_c = np.ascontiguousarray(g_ignore, dtype=np.uint8)
+        thrs_c = np.ascontiguousarray(thrs, dtype=np.float64)
+        out = np.empty((n_t, n_d), dtype=np.int32)
+        lib.coco_match(
+            ious_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_d, n_g,
+            gig_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            thrs_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_t,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+    out = np.full((n_t, n_d), -1, dtype=np.int32)
+    gig = g_ignore.astype(bool)
+    for t_i, thr in enumerate(thrs):
+        gtm = np.zeros(n_g, dtype=bool)
+        for d_i in range(n_d):
+            best = min(thr, 1 - 1e-10)
+            m = -1
+            for g_i in range(n_g):
+                if gtm[g_i] and not gig[g_i]:
+                    continue
+                if m > -1 and not gig[m] and gig[g_i]:
+                    break
+                if ious_s[d_i, g_i] < best:
+                    continue
+                best = ious_s[d_i, g_i]
+                m = g_i
+            if m > -1:
+                out[t_i, d_i] = m
+                gtm[m] = True
+    return out
+
+
 class COCOEvalNP:
     """Pure-numpy COCOeval: evaluate -> accumulate -> summarize."""
 
@@ -135,72 +185,92 @@ class COCOEvalNP:
             self.dts[(image_id, d["category_id"])].append(d)
 
     # ------------------------------------------------------------ evaluate
-    def _iou(self, img_id: int, cat_id: int):
+    def _iou(self, img_id: int, cat_id: int) -> dict:
+        """Precompute the per-(image, category) eval record once: IoU matrix
+        plus the numpy columns every area range re-reads (areas, scores,
+        base-ignore flags).  _evaluate_img is called 3-4x per record, so
+        hoisting the dict->array conversion here is the val2017-scale win."""
         gts = self.gts.get((img_id, cat_id), [])
         dts = sorted(self.dts.get((img_id, cat_id), []),
                      key=lambda d: -d["score"])[:self.max_dets[-1]]
-        if not gts or not dts:
-            return np.zeros((len(dts), len(gts))), dts, gts
+        n_d, n_g = len(dts), len(gts)
+        rec = {
+            "dt_scores": np.asarray([d["score"] for d in dts],
+                                    dtype=np.float64),
+            "dt_areas": np.asarray([d["area"] for d in dts],
+                                   dtype=np.float64),
+            "g_areas": np.asarray([g["area"] for g in gts],
+                                  dtype=np.float64),
+            "g_base_ignore": np.asarray(
+                [bool(g.get("ignore")) or g.get("iscrowd", 0) == 1
+                 for g in gts], dtype=bool),
+            "g_ids": np.asarray([g.get("id", i + 1)
+                                 for i, g in enumerate(gts)], dtype=np.int64),
+        }
+        if n_g == 0 or n_d == 0:
+            rec["ious"] = np.zeros((n_d, n_g))
+            return rec
         iscrowd = np.asarray([g.get("iscrowd", 0) for g in gts])
         if self.iou_type == "bbox":
             d = np.asarray([dt["bbox"] for dt in dts], dtype=np.float64)
             g = np.asarray([gt["bbox"] for gt in gts], dtype=np.float64)
-            ious = bbox_iou_matrix(d, g, iscrowd)
+            rec["ious"] = bbox_iou_matrix(d, g, iscrowd)
         elif self.iou_type == "segm":
-            ious = mask_iou_matrix([dt["mask"] for dt in dts],
-                                   [gt["mask"] for gt in gts], iscrowd)
+            rec["ious"] = mask_iou_matrix([dt["mask"] for dt in dts],
+                                          [gt["mask"] for gt in gts], iscrowd)
         else:
             d = np.asarray([np.asarray(dt["keypoints"]).reshape(-1, 3)
                             for dt in dts])
-            ious = oks_matrix(d, gts)
-        return ious, dts, gts
+            rec["ious"] = oks_matrix(d, gts)
+        return rec
 
-    def _evaluate_img(self, img_id, cat_id, area_rng, ious, dts, gts):
-        if not gts and not dts:
+    def _evaluate_img(self, rec: dict, area_rng: Tuple[float, float]):
+        n_d, n_g = rec["ious"].shape
+        if n_d == 0 and n_g == 0:
             return None
         lo, hi = area_rng
-        g_ignore = np.asarray([
-            bool(g.get("ignore")) or g.get("iscrowd", 0) == 1
-            or g["area"] < lo or g["area"] > hi for g in gts], dtype=bool)
+        n_thr = len(IOU_THRS)
+        if n_g == 0:
+            # det-only pair: nothing to match; dets outside the area range
+            # are ignored, the rest are FPs
+            d_out = (rec["dt_areas"] < lo) | (rec["dt_areas"] > hi)
+            return {
+                "dt_scores": rec["dt_scores"],
+                "dt_match": np.zeros((n_thr, n_d), dtype=np.int64),
+                "dt_ignore": np.broadcast_to(d_out, (n_thr, n_d)),
+                "gt_ignore": np.zeros(0, dtype=bool),
+                "n_gt": 0,
+            }
+        g_ignore = (rec["g_base_ignore"] | (rec["g_areas"] < lo)
+                    | (rec["g_areas"] > hi))
+        if n_d == 0:
+            # gt-only pair: contributes only the non-ignored gt count
+            return {
+                "dt_scores": rec["dt_scores"],
+                "dt_match": np.zeros((n_thr, 0), dtype=np.int64),
+                "dt_ignore": np.zeros((n_thr, 0), dtype=bool),
+                "gt_ignore": g_ignore,
+                "n_gt": int(n_g - g_ignore.sum()),
+            }
         # sort gts: non-ignored first (stable), pycocotools gtind order
         g_order = np.argsort(g_ignore, kind="mergesort")
-        gts_sorted = [gts[i] for i in g_order]
         g_ignore = g_ignore[g_order]
-        n_thr = len(IOU_THRS)
-        n_g = len(gts_sorted)
-        n_d = len(dts)
-        gt_match = np.zeros((n_thr, n_g), dtype=np.int64)
-        dt_match = np.zeros((n_thr, n_d), dtype=np.int64)
-        dt_ignore = np.zeros((n_thr, n_d), dtype=bool)
-        if n_g and n_d:
-            ious_s = ious[:, g_order]
-            for t_i, thr in enumerate(IOU_THRS):
-                for d_i in range(n_d):
-                    best = min(thr, 1 - 1e-10)
-                    m = -1
-                    for g_i in range(n_g):
-                        if gt_match[t_i, g_i] > 0 and not g_ignore[g_i]:
-                            continue  # gt already matched (crowd rematchable)
-                        if m > -1 and not g_ignore[m] and g_ignore[g_i]:
-                            break  # can't fall back to ignored gt past best
-                        if ious_s[d_i, g_i] < best:
-                            continue
-                        best = ious_s[d_i, g_i]
-                        m = g_i
-                    if m == -1:
-                        continue
-                    dt_ignore[t_i, d_i] = g_ignore[m]
-                    dt_match[t_i, d_i] = gts_sorted[m].get("id", m + 1)
-                    gt_match[t_i, m] = dts[d_i].get("id", d_i + 1)
+        ious_s = rec["ious"][:, g_order]
+        m_idx = match_greedy(ious_s, g_ignore, IOU_THRS)
+        matched = m_idx >= 0
+        g_ids = rec["g_ids"][g_order]
+        safe = np.clip(m_idx, 0, None)
+        dt_ignore = np.where(matched, g_ignore[safe], False)
+        dt_match = np.where(matched, g_ids[safe], 0)
         # unmatched dets outside the area range are ignored
-        d_areas = np.asarray([d["area"] for d in dts]) if n_d else np.zeros(0)
-        d_out = (d_areas < lo) | (d_areas > hi)
-        dt_ignore = dt_ignore | (np.logical_and(dt_match == 0, d_out[None]))
+        d_out = (rec["dt_areas"] < lo) | (rec["dt_areas"] > hi)
+        dt_ignore = dt_ignore | ((dt_match == 0) & d_out[None])
         return {
-            "dt_scores": np.asarray([d["score"] for d in dts]),
+            "dt_scores": rec["dt_scores"],
             "dt_match": dt_match,
             "dt_ignore": dt_ignore,
             "gt_ignore": g_ignore,
+            "n_gt": int(n_g - g_ignore.sum()),
         }
 
     # ----------------------------------------------------------- accumulate
@@ -213,12 +283,20 @@ class COCOEvalNP:
         recall = -np.ones((n_thr, n_cat, n_area, n_md))
         scores = -np.ones((n_thr, n_rec, n_cat, n_area, n_md))
 
+        # (img, cat) pairs with neither gts nor dts contribute nothing
+        # (_evaluate_img returns None); skip them instead of iterating the
+        # full img x cat grid — at val2017 scale most pairs are empty.
+        active: Dict[int, list] = defaultdict(list)
+        for (img, cat) in set(self.gts) | set(self.dts):
+            active[cat].append(img)
+
         for c_i, cat in enumerate(cat_ids):
-            per_img = {img: self._iou(img, cat) for img in img_ids}
+            imgs = sorted(active.get(cat, []))
+            per_img = {img: self._iou(img, cat) for img in imgs}
             for a_i, a_lbl in enumerate(self.area_labels):
                 rng = AREA_RNG[a_lbl]
-                evals = [self._evaluate_img(img, cat, rng, *per_img[img])
-                         for img in img_ids]
+                evals = [self._evaluate_img(per_img[img], rng)
+                         for img in imgs]
                 evals = [e for e in evals if e is not None]
                 if not evals:
                     continue
@@ -230,29 +308,29 @@ class COCOEvalNP:
                         [e["dt_match"][:, :max_det] for e in evals], axis=1)[:, order]
                     dti = np.concatenate(
                         [e["dt_ignore"][:, :max_det] for e in evals], axis=1)[:, order]
-                    n_gt = sum((~e["gt_ignore"]).sum() for e in evals)
+                    n_gt = sum(e["n_gt"] for e in evals)
                     if n_gt == 0:
                         continue
                     tps = (dtm > 0) & ~dti
                     fps = (dtm == 0) & ~dti
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
                     fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    rc_all = tp_sum / n_gt
+                    pr_all = tp_sum / np.maximum(tp_sum + fp_sum, np.spacing(1))
+                    # precision envelope (monotone non-increasing), all
+                    # thresholds at once
+                    pr_env = np.maximum.accumulate(
+                        pr_all[:, ::-1], axis=1)[:, ::-1]
                     for t_i in range(n_thr):
-                        tp, fp = tp_sum[t_i], fp_sum[t_i]
-                        rc = tp / n_gt
-                        pr = tp / np.maximum(tp + fp, np.spacing(1))
+                        rc = rc_all[t_i]
+                        pr = pr_env[t_i]
                         recall[t_i, c_i, a_i, m_i] = rc[-1] if len(rc) else 0
-                        # precision envelope (monotone non-increasing)
-                        pr = pr.tolist()
-                        for k in range(len(pr) - 1, 0, -1):
-                            pr[k - 1] = max(pr[k - 1], pr[k])
                         inds = np.searchsorted(rc, REC_THRS, side="left")
+                        valid = inds < len(pr)
                         q = np.zeros(n_rec)
                         s = np.zeros(n_rec)
-                        for r_i, p_i in enumerate(inds):
-                            if p_i < len(pr):
-                                q[r_i] = pr[p_i]
-                                s[r_i] = sc[p_i]
+                        q[valid] = pr[inds[valid]]
+                        s[valid] = sc[inds[valid]]
                         precision[t_i, :, c_i, a_i, m_i] = q
                         scores[t_i, :, c_i, a_i, m_i] = s
         self.precision = precision

@@ -56,6 +56,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.fill_polygon.restype = None
             lib.fill_polygon.argtypes = [f64p, ctypes.c_int64, ctypes.c_int64,
                                          ctypes.c_int64, u8p]
+            lib.coco_match.restype = None
+            lib.coco_match.argtypes = [f64p, ctypes.c_int64, ctypes.c_int64,
+                                       u8p, f64p, ctypes.c_int64, i32p]
             _LIB = lib
     return _LIB
 

@@ -121,6 +121,42 @@ void rle_iou_matrix(const uint32_t* det_runs, const int64_t* det_off,
 }
 
 // ---------------------------------------------------------------------------
+// Greedy COCOeval detection<->GT matcher (the published evaluateImg inner
+// loop, reference consumed it via pycocotools' COCOeval.evaluateImg —
+// /root/reference/src/utils/coco_eval_util.py:295-340).  Inputs:
+//   ious      [n_d, n_g] row-major, gts pre-sorted non-ignored-first
+//   g_ignore  [n_g] 0/1
+//   thrs      [n_t] IoU thresholds
+// Output:
+//   dt_m      [n_t, n_d] index of the matched (sorted) gt, or -1.
+// Semantics replicated exactly: detections in descending-score order each
+// take the best still-unmatched gt (later gt wins IoU ties); ignored gts
+// are rematchable and only reachable when no non-ignored gt qualifies.
+// ---------------------------------------------------------------------------
+void coco_match(const double* ious, int64_t n_d, int64_t n_g,
+                const uint8_t* g_ignore, const double* thrs, int64_t n_t,
+                int32_t* dt_m) {
+    std::vector<uint8_t> gtm(n_g);
+    for (int64_t t = 0; t < n_t; ++t) {
+        std::fill(gtm.begin(), gtm.end(), 0);
+        for (int64_t d = 0; d < n_d; ++d) {
+            double best = std::min(thrs[t], 1.0 - 1e-10);
+            int64_t m = -1;
+            const double* row = ious + d * n_g;
+            for (int64_t g = 0; g < n_g; ++g) {
+                if (gtm[g] && !g_ignore[g]) continue;
+                if (m > -1 && !g_ignore[m] && g_ignore[g]) break;
+                if (row[g] < best) continue;
+                best = row[g];
+                m = g;
+            }
+            dt_m[t * n_d + d] = (int32_t)m;
+            if (m > -1) gtm[m] = 1;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Polygon rasterization: even-odd scanline fill at pixel centers
 // (x + 0.5, y + 0.5), vertices in (x0, y0, x1, y1, ...) order.
 // Fills a row-major [h, w] uint8 mask (OR-ed into the buffer so multiple

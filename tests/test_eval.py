@@ -183,3 +183,61 @@ class TestPostprocess:
         assert kps[0, 0, 0] == pytest.approx(100 + 0.25 * 112, abs=2.0)
         assert kps[0, 0, 1] == pytest.approx(200 + 0.5 * 112, abs=2.0)
         assert (scores[0] > 0).all()
+
+
+class TestMatchGreedyNative:
+    """The native coco_match (native/cocomask/cocomask.cpp) must agree with
+    the pure-python reference loop on every scenario shape, including exact
+    IoU ties (later gt wins) and ignored-gt fallback."""
+
+    def test_native_matches_fallback(self):
+        from hnd_ghnd_tpu.evals import coco_eval as ce
+        from hnd_ghnd_tpu.evals import mask_rle
+        if mask_rle.get_lib() is None:
+            pytest.skip("native cocomask library not built")
+        rng = np.random.RandomState(0)
+        for _ in range(100):
+            n_d, n_g = rng.randint(1, 12), rng.randint(1, 10)
+            ious = rng.rand(n_d, n_g) * 1.05
+            ious[rng.rand(n_d, n_g) < 0.3] = 0.5  # force exact ties
+            gig = np.sort(rng.rand(n_g) < 0.3)  # non-ignored first
+            native = ce.match_greedy(ious, gig, ce.IOU_THRS)
+            lib, tried = mask_rle._LIB, mask_rle._TRIED
+            mask_rle._LIB, mask_rle._TRIED = None, True
+            try:
+                fallback = ce.match_greedy(ious, gig, ce.IOU_THRS)
+            finally:
+                mask_rle._LIB, mask_rle._TRIED = lib, tried
+            assert np.array_equal(native, fallback)
+
+    def test_accumulate_scales(self):
+        """500 images x 100 dets over 80 categories in a few seconds — the
+        val2017-scale regression guard (reference leans on pycocotools C for
+        this, src/utils/coco_eval_util.py:295-340)."""
+        import time
+        from hnd_ghnd_tpu.evals import coco_eval as ce
+        rng = np.random.RandomState(0)
+        ev = ce.COCOEvalNP("bbox")
+        aid = 1
+        for img in range(500):
+            gts = []
+            for _ in range(rng.randint(1, 12)):
+                x, y = rng.rand(2) * 500
+                w, h = rng.rand(2) * 150 + 5
+                gts.append({"id": aid, "category_id": int(rng.randint(1, 81)),
+                            "bbox": [x, y, w, h], "area": float(w * h),
+                            "iscrowd": int(rng.rand() < 0.03)})
+                aid += 1
+            ev.add_gt_annotations(gts, img)
+            dets = [{"id": k + 1, "category_id": int(rng.randint(1, 81)),
+                     "bbox": [x, y, w, h], "area": float(w * h),
+                     "score": float(rng.rand())}
+                    for k, (x, y, w, h) in enumerate(
+                        np.c_[rng.rand(100, 2) * 500,
+                              rng.rand(100, 2) * 150 + 5])]
+            ev.add_detections(dets, img)
+        t0 = time.time()
+        ev.accumulate()
+        ev.summarize()
+        elapsed = time.time() - t0
+        assert elapsed < 30.0, f"accumulate too slow: {elapsed:.1f}s for 500 imgs"
