@@ -15,10 +15,17 @@ cost_analyzer payload studies, RGB-input split deployments).
 from __future__ import annotations
 
 import io
+from typing import NamedTuple
 
 import numpy as np
 from PIL import Image
 
+
+class HostQuantizedTensor(NamedTuple):
+    """numpy twin of codec.quantizer.QuantizedTensor for host-side chains."""
+    tensor: np.ndarray
+    scale: float
+    zero_point: float
 
 
 def _quantize_np(x: np.ndarray, num_bits: int = 8):
@@ -26,10 +33,40 @@ def _quantize_np(x: np.ndarray, num_bits: int = 8):
     mn = x.astype(np.float32).min()
     mx = x.astype(np.float32).max()
     scale = np.float32((mx - mn) / (qmax - qmin))
+    if not scale > 0:  # constant tensor: scale=1 guard (no NaNs on the wire)
+        scale = np.float32(1.0)
     zp = float(int(np.clip(np.float32(-mn / scale), qmin, qmax)))
     q = np.clip(np.float32(zp) + x.astype(np.float32) / scale,
                 qmin, qmax).round().astype(np.uint8)
     return q, float(scale), zp
+
+
+class HostQuantizer:
+    """numpy twin of codec.quantizer.Quantizer (bit-exact arithmetic) for
+    host-side transformer chains that include JPEG components."""
+
+    def __init__(self, num_bits: int = 8):
+        self.num_bits = num_bits
+
+    def __call__(self, z, target=None):
+        if self.num_bits == 16:
+            return np.asarray(z, np.float16), target
+        q, scale, zp = _quantize_np(np.asarray(z), self.num_bits)
+        return HostQuantizedTensor(q, scale, zp), target
+
+
+class HostDequantizer:
+    def __init__(self, num_bits: int = 8):
+        self.num_bits = num_bits
+
+    def __call__(self, qz, target=None):
+        if self.num_bits == 16:
+            return np.asarray(qz, np.float32), target
+        if not isinstance(qz, HostQuantizedTensor):
+            return qz, target
+        return (np.float32(qz.scale)
+                * (qz.tensor.astype(np.float32) - np.float32(qz.zero_point)),
+                target)
 
 
 class JpegCompressor:
@@ -41,6 +78,8 @@ class JpegCompressor:
         self.jpeg_quality = jpeg_quality
 
     def __call__(self, z, target=None):
+        if isinstance(z, (tuple, bytes, bytearray)):
+            return z, target  # quantized record / encoded payload: untouched
         arr = np.asarray(z)
         if arr.ndim == 4 and arr.shape[0] == 1 and arr.shape[-1] == 3:
             arr = arr[0]

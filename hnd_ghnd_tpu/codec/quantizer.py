@@ -31,17 +31,23 @@ def quantize_tensor(x: jnp.ndarray, num_bits: int = 8) -> QuantizedTensor:
     scale = (max - min) / (2^bits - 1); zero_point = clip(round-free integer
     cast of (-min/scale)) — note the reference truncates via ``int(...)``,
     i.e. toward zero, which for the always-nonnegative value is a floor.
+
+    Degenerate constant tensors (max == min: an ext-gated empty image, a
+    black frame) would divide by zero; the guard substitutes scale=1 so the
+    wire carries finite values (reconstruction error <= 0.5, the codec's own
+    step size).  The reference crashes with NaNs here.
     """
     qmin = 0.0
     qmax = 2.0 ** num_bits - 1.0
     min_val = x.min().astype(jnp.float32)
     max_val = x.max().astype(jnp.float32)
     scale = (max_val - min_val) / (qmax - qmin)
-    initial_zp = qmin - min_val / scale
+    safe_scale = jnp.where(scale > 0, scale, 1.0)
+    initial_zp = qmin - min_val / safe_scale
     zero_point = jnp.clip(initial_zp, qmin, qmax).astype(jnp.int32).astype(jnp.float32)
-    qx = jnp.clip(zero_point + x.astype(jnp.float32) / scale, qmin, qmax)
+    qx = jnp.clip(zero_point + x.astype(jnp.float32) / safe_scale, qmin, qmax)
     qx = jnp.round(qx).astype(jnp.uint8)
-    return QuantizedTensor(qx, scale, zero_point)
+    return QuantizedTensor(qx, safe_scale, zero_point)
 
 
 def dequantize_tensor(q: QuantizedTensor) -> jnp.ndarray:
@@ -71,8 +77,12 @@ class Dequantizer:
 
 
 class Compose:
-    def __init__(self, components):
+    def __init__(self, components, host_side: bool = False):
         self.components = list(components)
+        # host_side chains contain components that cannot run inside jit
+        # (JPEG via libjpeg); the model hands the bottleneck tensor to them
+        # through jax.pure_callback at the encoder/decoder boundary
+        self.host_side = host_side
 
     def __call__(self, z, target=None):
         for c in self.components:
@@ -85,25 +95,47 @@ TRANSFORMER_CLASS_DICT = {
     "dequantizer": Dequantizer,
 }
 
+HOST_TRANSFORMER_NAMES = ("jpeg_compressor", "jpeg_decompressor")
+
 
 def get_bottleneck_transformer(transformer_config: Optional[Dict[str, Any]]):
-    """Build the quantize/dequantize chain from the reference YAML schema
-    (``bottleneck_transformer: {order: [...], components: {...}}``).
+    """Build the wire-codec chain from the reference YAML schema
+    (``bottleneck_transformer: {order: [...], components: {...}}``;
+    reference TRANSFORMER_CLASS_DICT accepts quantizer / dequantizer /
+    jpeg_compressor / jpeg_decompressor,
+    src/structure/transformer.py:156-174).
 
-    JPEG components are host-side and handled by the codec.jpeg module; they
-    are rejected here because they cannot run inside a jitted model.
+    Pure quantize/dequantize chains build the jit-native jnp classes.  A
+    chain naming any JPEG component becomes a host-side numpy chain
+    (codec.jpeg classes, bit-exact quantizer arithmetic) marked
+    ``host_side=True``; the model routes the bottleneck tensor through it
+    with jax.pure_callback — the jit-boundary hand-off for libjpeg.
     """
     if transformer_config is None:
         return None
-    components = []
+    order = list(transformer_config["order"])
     comp_cfg = transformer_config["components"]
-    for name in transformer_config["order"]:
-        if name not in TRANSFORMER_CLASS_DICT:
-            raise KeyError(
-                f"transformer `{name}` is not supported inside the jitted model"
-            )
-        components.append(TRANSFORMER_CLASS_DICT[name](**comp_cfg[name]["params"]))
-    return Compose(components) if components else None
+    host_side = any(name in HOST_TRANSFORMER_NAMES for name in order)
+    if host_side:
+        from hnd_ghnd_tpu.codec import jpeg as jpeg_codec
+        class_dict = {
+            "quantizer": jpeg_codec.HostQuantizer,
+            "dequantizer": jpeg_codec.HostDequantizer,
+            "jpeg_compressor": jpeg_codec.JpegCompressor,
+            "jpeg_decompressor": jpeg_codec.JpegDecompressor,
+        }
+    else:
+        class_dict = TRANSFORMER_CLASS_DICT
+    components = []
+    for name in order:
+        if name not in class_dict:
+            raise KeyError(f"transformer `{name}` is not expected")
+        params = (comp_cfg.get(name, {}) or {}).get("params", {}) or {}
+        # the reference's JPEG classes take a tmp_dir_path (they write temp
+        # files); ours keep the payload in memory — accept and ignore it
+        params = {k: v for k, v in params.items() if k != "tmp_dir_path"}
+        components.append(class_dict[name](**params))
+    return Compose(components, host_side=host_side) if components else None
 
 
 def roundtrip(z: jnp.ndarray, num_bits: int = 8) -> jnp.ndarray:

@@ -48,11 +48,26 @@ class Bottleneck4LargeResNet:
     """Functional encoder/decoder bottleneck with optional ext filter."""
 
     def __init__(self, bottleneck_channel: int, ext_config: Optional[dict] = None,
-                 quant_bits: Optional[int] = 8):
+                 quant_bits: Optional[int] = 8, host_transformer=None):
         self.bch = bottleneck_channel
         self.ext_config = ext_config
         self.ext = Ext4ResNet(64) if ext_config is not None else None
         self.quant_bits = quant_bits if quant_bits is not None else 8
+        # host-side wire chain (JPEG components): applied between encoder and
+        # decoder via jax.pure_callback (reference applies the same chain via
+        # a forward pre-hook, src/models/mimic/base.py:50-58)
+        self.host_transformer = host_transformer
+
+    def _host_roundtrip(self, z):
+        """numpy callback: run the host codec chain per image, preserving
+        shape/dtype (the JPEG roundtrip reconstructs the same raster)."""
+        import numpy as np
+        z = np.asarray(z)
+        out = []
+        for i in range(z.shape[0]):
+            r, _ = self.host_transformer(z[i])
+            out.append(np.asarray(r, dtype=z.dtype).reshape(z[i].shape))
+        return np.stack(out)
 
     # -- init ---------------------------------------------------------------
     def init(self, rng) -> Tuple[Params, Params]:
@@ -144,7 +159,12 @@ class Bottleneck4LargeResNet:
         z, enc_s = self.encode(params, state, x, training=training)
         new_state["encoder"] = enc_s
         if (not training) and use_bottleneck_transformer:
-            z = roundtrip(z, self.quant_bits)
+            if self.host_transformer is not None:
+                z = jax.pure_callback(
+                    self._host_roundtrip,
+                    jax.ShapeDtypeStruct(z.shape, z.dtype), z)
+            else:
+                z = roundtrip(z, self.quant_bits)
         y, dec_s = self.decode(params, state, z, training=training)
         new_state["decoder"] = dec_s
         return y, new_state, ext_logits

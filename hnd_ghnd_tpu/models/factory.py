@@ -57,11 +57,17 @@ def build_model(model_config: Dict[str, Any]) -> RCNN:
         # The reference factory instantiates the Large variant regardless of
         # the Small name (resnet_layer.py:80-81) — preserved behavior.
         ext_config = backbone_cfg.get("ext_config")
-        quant_bits = _quant_bits_from_transformer(
-            model_config.get("bottleneck_transformer"))
+        transformer_cfg = model_config.get("bottleneck_transformer")
+        quant_bits = _quant_bits_from_transformer(transformer_cfg)
+        # JPEG-bearing chains run host-side through pure_callback; pure
+        # quantize/dequantize chains stay on the jit-native fused path
+        from hnd_ghnd_tpu.codec.quantizer import get_bottleneck_transformer
+        chain = get_bottleneck_transformer(transformer_cfg)
+        host_transformer = chain if (chain is not None
+                                     and chain.host_side) else None
         bottleneck = Bottleneck4LargeResNet(
             int(layer1_cfg["bottleneck_channel"]), ext_config,
-            quant_bits=quant_bits)
+            quant_bits=quant_bits, host_transformer=host_transformer)
         if ext_config is not None:
             ext_threshold = float(ext_config.get("threshold", 0.01))
 

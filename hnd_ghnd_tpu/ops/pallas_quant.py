@@ -47,7 +47,9 @@ def _quant_kernel(minmax_ref, x_ref, q_ref, *, num_bits: int):
     qmax = 2.0 ** num_bits - 1.0
     min_val = minmax_ref[0, 0]
     max_val = minmax_ref[0, 1]
-    scale = (max_val - min_val) / qmax
+    raw_scale = (max_val - min_val) / qmax
+    # constant-tensor guard (scale=0 -> scale=1): matches codec.quantizer
+    scale = jnp.where(raw_scale > 0, raw_scale, 1.0)
     # exact division (not reciprocal-multiply) for bit-parity with the
     # reference at .5 rounding boundaries; truncated integer zero point
     zp = jnp.clip(-min_val / scale, 0.0, qmax).astype(jnp.int32).astype(jnp.float32)
@@ -94,7 +96,8 @@ def pallas_quantize(x: jnp.ndarray, num_bits: int = 8,
     )(minmax, chunks)
 
     qmax = 2.0 ** num_bits - 1.0
-    scale = (minmax[0, 1] - minmax[0, 0]) / qmax
+    raw_scale = (minmax[0, 1] - minmax[0, 0]) / qmax
+    scale = jnp.where(raw_scale > 0, raw_scale, 1.0)
     zp = jnp.clip(-minmax[0, 0] / scale, 0.0, qmax).astype(jnp.int32).astype(jnp.float32)
     q8 = q.reshape(-1)[:n].astype(jnp.uint8).reshape(orig_shape)
     return QuantizedTensor(q8, scale, zp)

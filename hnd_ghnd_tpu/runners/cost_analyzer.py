@@ -44,6 +44,9 @@ def get_argparser() -> argparse.ArgumentParser:
                              " (8 or 16; <=0 disables)")
     parser.add_argument("--max_images", type=int, default=None,
                         help="cap analyzed test images")
+    parser.add_argument("-resized", action="store_true",
+                        help="apply the detector resize rule before the "
+                             "--data_size payload study (reference -resized)")
     return parser
 
 
@@ -75,19 +78,82 @@ def analyze_model_params(model, params) -> None:
         print(f"  split tail (server): {n_tail:,}")
 
 
-def analyze_data_size(loader, max_images: Optional[int]) -> None:
-    org_sizes, resized_sizes = [], []
+def summarize_tensor_shape(channels, heights, widths) -> None:
+    """mean±std per tensor dim (reference summarize_tensor_shape,
+    src/cost_analyzer.py:71-76)."""
+    channels = np.asarray(channels, np.float64)
+    heights = np.asarray(heights, np.float64)
+    widths = np.asarray(widths, np.float64)
+    print("Tensor shape")
+    print(f"Channel:\t{channels.mean():.4f} ± {channels.std():.4f}")
+    print(f"Height:\t{heights.mean():.4f} ± {heights.std():.4f}")
+    print(f"Width:\t{widths.mean():.4f} ± {widths.std():.4f}")
+
+
+def resize_for_rcnns(img, min_size: int = 800, max_size: int = 1333):
+    """The detector transform's resize rule on a PIL image (reference
+    resize_for_rcnns, src/cost_analyzer.py:79-86)."""
+    from PIL import Image
+    w, h = img.size
+    img_min, img_max = float(min(w, h)), float(max(w, h))
+    sf = min_size / img_min
+    if img_max * sf > max_size:
+        sf = max_size / img_max
+    return img.resize((int(w * sf), int(h * sf)), resample=Image.BILINEAR)
+
+
+def analyze_data_size(loader, max_images: Optional[int],
+                      resized: bool = False) -> None:
+    """Dataset payload study (reference analyze_data_size,
+    src/cost_analyzer.py:89-137): per-image JPEG-95 re-encoded size, the
+    jpeg_quality-compressed size list when the dataset sets one, min/max
+    tensor shapes, per-dim mean±std — plus the raw file and decoded-tensor
+    payloads (superset)."""
+    import io
+
+    from PIL import Image
+
     ds = loader.dataset
+    org_sizes, comp_sizes, file_sizes, decoded_sizes = [], [], [], []
+    chans, heights, widths = [], [], []
+    min_shape = max_shape = None
+    min_px = max_px = None
     for n, image_id in enumerate(ds.ids):
         if max_images and n >= max_images:
             break
         info = ds.images[image_id]
         path = os.path.join(ds.img_dir, info["file_name"])
-        org_sizes.append(os.path.getsize(path) / 1024.0)
-        img = ds.load_image(image_id)
-        resized_sizes.append(binary_object_size_kb(img))
-    summarize_data_sizes(org_sizes, "original JPEG payload")
-    summarize_data_sizes(resized_sizes, "decoded image payload")
+        file_sizes.append(os.path.getsize(path) / 1024.0)
+        img = Image.open(path).convert("RGB")
+        if resized:
+            img = resize_for_rcnns(img)
+        w, h = img.size
+        chans.append(3)
+        heights.append(h)
+        widths.append(w)
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=95)
+        org_sizes.append(buf.tell() / 1024.0)
+        if ds.jpeg_quality is not None:
+            buf = io.BytesIO()
+            img.save(buf, "JPEG", quality=ds.jpeg_quality)
+            comp_sizes.append(buf.tell() / 1024.0)
+        decoded_sizes.append(binary_object_size_kb(
+            np.asarray(img, dtype=np.uint8)))
+        px = 3 * h * w
+        if min_px is None or px < min_px:
+            min_px, min_shape = px, [3, h, w]
+        if max_px is None or px > max_px:
+            max_px, max_shape = px, [3, h, w]
+    summarize_data_sizes(org_sizes, "Original")
+    print(f"Min tensor shape: {min_shape}")
+    print(f"Max tensor shape: {max_shape}")
+    if comp_sizes:
+        summarize_data_sizes(comp_sizes,
+                             f"JPEG quality = {ds.jpeg_quality}")
+    summarize_tensor_shape(chans, heights, widths)
+    summarize_data_sizes(file_sizes, "on-disk file payload")
+    summarize_data_sizes(decoded_sizes, "decoded image payload")
 
 
 def analyze_bottleneck_size(model, params, state, loader, quant_bits,
@@ -183,7 +249,8 @@ def main(args):
     if args.model_params:
         analyze_model_params(model, params)
     if args.data_size:
-        analyze_data_size(test_loader, args.max_images)
+        analyze_data_size(test_loader, args.max_images,
+                          resized=args.resized)
     if args.bottleneck_size:
         assert model.bottleneck is not None, "needs a bottleneck model"
         analyze_bottleneck_size(model, params, state, test_loader,
