@@ -178,7 +178,8 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
                           max_size: int = 1333,
                           buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
                           shard_index: int = 0, num_shards: int = 1,
-                          eval_batch_size: int = 1):
+                          eval_batch_size: int = 1,
+                          shard_eval: bool = False):
     """Build (train, val, test) loaders from the reference dataset YAML block
     (src/utils/data_util.py:18-48).  val/test default to batch_size=1 like
     the reference (data_util.py:44-47); ``eval_batch_size`` raises it for
@@ -199,6 +200,6 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
             training=training,
             min_sizes=min_sizes, max_size=max_size, buckets=buckets,
             num_workers=num_workers,
-            shard_index=shard_index if training else 0,
-            num_shards=num_shards if training else 1))
+            shard_index=shard_index if (training or shard_eval) else 0,
+            num_shards=num_shards if (training or shard_eval) else 1))
     return tuple(out)

@@ -453,10 +453,41 @@ class CocoEvaluator:
                 ev.add_detections(dets, image_id)
 
     def synchronize_between_processes(self) -> None:
-        """Multi-host merge point.  Single-controller JAX keeps all
-        predictions on host 0, so this is a no-op unless running
-        multi-process, where per-host evaluators should be merged by the
-        caller via jax.experimental.multihost_utils."""
+        """Merge per-process evaluator state across a multi-process run
+        (the reference's pickle all_gather + image-id dedup,
+        src/utils/coco_eval_util.py:158-177 + misc_util.py:72-112).
+
+        Each process contributes the images it evaluated; duplicate images
+        (shard wrap-around, replicated eval) keep the first process's copy.
+        After the merge every process holds the full prediction set, so
+        accumulate()/summarize() agree everywhere."""
+        from hnd_ghnd_tpu.parallel import multihost
+        if multihost.get_world_size() == 1:
+            return
+        payload = {t: (dict(ev.gts), dict(ev.dts), set(ev.img_ids),
+                       set(ev.cat_ids))
+                   for t, ev in self.evals.items()}
+        gathered = multihost.all_gather_objects(payload)
+        for t, ev in self.evals.items():
+            m_gts: Dict = {}
+            m_dts: Dict = {}
+            img_ids: set = set()
+            cat_ids: set = set()
+            for proc in gathered:
+                gts, dts, imgs, cats = proc[t]
+                fresh = imgs - img_ids
+                for key, v in gts.items():
+                    if key[0] in fresh:
+                        m_gts[key] = v
+                for key, v in dts.items():
+                    if key[0] in fresh:
+                        m_dts[key] = v
+                img_ids |= fresh
+                cat_ids |= cats
+            ev.gts = defaultdict(list, m_gts)
+            ev.dts = defaultdict(list, m_dts)
+            ev.img_ids = img_ids
+            ev.cat_ids = cat_ids
 
     def accumulate(self) -> None:
         for ev in self.evals.values():

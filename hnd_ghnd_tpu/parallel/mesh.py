@@ -61,7 +61,19 @@ def replicate_spec(mesh: Mesh) -> NamedSharding:
 
 
 def put_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+    """Shard a batch onto the mesh's data axis.
+
+    Single-process: a plain sharded device_put.  Multi-process (mesh spans
+    processes): each process holds only its local shard of the global batch
+    (per-host sharded loading, the DistributedSampler analog) and the global
+    array is assembled from process-local data — the standard multi-host
+    input recipe."""
     spec = shard_batch_spec(mesh)
+    if jax.process_count() > 1 and any(
+            d.process_index != jax.process_index()
+            for d in mesh.devices.flat):
+        return {k: jax.make_array_from_process_local_data(spec, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, spec) for k, v in batch.items()}
 
 

@@ -38,6 +38,45 @@ def init_distributed_mode(coordinator_address: Optional[str] = None,
     return True
 
 
+def setup_for_distributed(is_master: bool) -> None:
+    """Suppress print on non-master processes (the reference monkey-patches
+    builtins.print the same way, src/utils/main_util.py:29-40); ``force=True``
+    overrides."""
+    import builtins
+    orig_print = builtins.print
+
+    def print_(*args, force: bool = False, **kwargs):
+        if is_master or force:
+            orig_print(*args, **kwargs)
+
+    builtins.print = print_
+
+
+def maybe_init_distributed(args: Optional[Any] = None) -> bool:
+    """Env/args-driven multi-process init (the reference's
+    init_distributed_mode, main_util.py:43-62: RANK/WORLD_SIZE env vars or a
+    graceful single-process fallback).  Recognized sources, in order: CLI
+    flags (--coordinator_address/--num_processes/--process_id), then the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    Returns True when running multi-process."""
+    import os
+
+    def pick(attr, env):
+        v = getattr(args, attr, None) if args is not None else None
+        return v if v is not None else os.environ.get(env)
+
+    coord = pick("coordinator_address", "JAX_COORDINATOR_ADDRESS")
+    nproc = pick("num_processes", "JAX_NUM_PROCESSES")
+    pid = pick("process_id", "JAX_PROCESS_ID")
+    if coord is None or nproc is None or pid is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+    setup_for_distributed(jax.process_index() == 0)
+    return jax.process_count() > 1
+
+
 def get_rank() -> int:
     return jax.process_index()
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_detection_train_step, put_batch,
@@ -95,18 +96,22 @@ def train(model, params, state, config, args, mesh):
         val_map = float(coco_evaluator.stats["bbox"][0])
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
-            ckpt_util.save_ckpt(ckpt_path, params=params, state=state,
-                                opt_state=opt_state, best_value=best_val_map,
-                                config=config, args=vars(args))
+            multihost.save_on_master(
+                ckpt_util.save_ckpt, ckpt_path, params=params, state=state,
+                opt_state=opt_state, best_value=best_val_map,
+                config=config, args=vars(args))
+    multihost.barrier("coco_train_end")
     return params, state
 
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
-    if args.world_size:
+    if args.world_size and not distributed:
         devices = devices[:args.world_size]
-    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
+    global_batch = int(config["train"]["batch_size"]) * jax.process_count()
+    mesh = make_mesh_for_batch(global_batch, devices)
 
     model, params, state = get_model(config["model"], seed=args.seed)
     if args.train:

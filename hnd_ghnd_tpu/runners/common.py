@@ -36,6 +36,13 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
                         help="ignored (no process-group rendezvous in "
                              "single-controller JAX); reference CLI compat")
     parser.add_argument("--seed", type=int, default=0)
+    # multi-process SPMD (the reference's RANK/WORLD_SIZE env-driven DDP
+    # init, src/utils/main_util.py:43-62); env fallbacks:
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 for jax.distributed")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
 
 
 class JitCache:
@@ -96,9 +103,19 @@ def evaluate(model, params, state, loader: DetectionLoader,
 
 def loaders_from_config(config: Dict[str, Any], model_kind: str,
                         batch_size: int, min_sizes=(800,),
-                        shard_index: int = 0, num_shards: int = 1):
+                        shard_index: Optional[int] = None,
+                        num_shards: Optional[int] = None):
+    """Build loaders; in a multi-process run each process loads only its
+    shard (shard identity defaults to jax.process_index()/process_count(),
+    the DistributedSampler analog — reference src/utils/data_util.py:27-30)
+    and eval shards too (merged by
+    CocoEvaluator.synchronize_between_processes)."""
     from hnd_ghnd_tpu.data.loader import get_coco_data_loaders
     from hnd_ghnd_tpu.data.transforms import DEFAULT_BUCKETS
+    if shard_index is None:
+        shard_index = jax.process_index()
+    if num_shards is None:
+        num_shards = jax.process_count()
     tpu_cfg = config.get("tpu", {}) or {}
     buckets = tuple(tuple(b) for b in tpu_cfg.get("buckets", DEFAULT_BUCKETS))
     min_sizes = tuple(tpu_cfg.get("min_sizes", min_sizes))
@@ -110,7 +127,7 @@ def loaders_from_config(config: Dict[str, Any], model_kind: str,
         with_keypoints=model_kind == "keypoint_rcnn",
         min_sizes=min_sizes, buckets=buckets, max_size=max_size,
         shard_index=shard_index, num_shards=num_shards,
-        eval_batch_size=eval_bs)
+        eval_batch_size=eval_bs, shard_eval=num_shards > 1)
 
 
 def compute_dtype_from_config(config) -> "jax.numpy.dtype":

@@ -19,6 +19,7 @@ import optax
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.data.coco import check_if_valid_target
 from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch, put_batch,
                                         replicate)
@@ -154,10 +155,12 @@ def print_threshold_table(probs, labels, min_recall: float):
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
-    if args.world_size:
+    if args.world_size and not distributed:
         devices = devices[:args.world_size]
-    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
+    global_batch = int(config["train"]["batch_size"]) * jax.process_count()
+    mesh = make_mesh_for_batch(global_batch, devices)
     model, params, state = get_model(config["model"], seed=args.seed)
     assert model.bottleneck is not None and model.bottleneck.ext is not None, \
         "ext_runner requires a bottleneck model with ext_config"
@@ -198,9 +201,10 @@ def main(args):
             _, _, _, auc = summarize_cls(probs, labels)
             if auc > best_auc and ckpt_path:
                 best_auc = auc
-                ckpt_util.save_ckpt(ckpt_path, params=params_r, state=state_r,
-                                    best_value=best_auc, config=config,
-                                    args=vars(args))
+                multihost.save_on_master(
+                    ckpt_util.save_ckpt, ckpt_path, params=params_r,
+                    state=state_r, best_value=best_auc, config=config,
+                    args=vars(args))
         params, state = params_r, state_r
     elif ckpt_util.check_if_exists(ckpt_path):
         payload = ckpt_util.load_ckpt(ckpt_path)

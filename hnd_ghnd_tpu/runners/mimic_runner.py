@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.distill.box import DistillationBox
 from hnd_ghnd_tpu.models.factory import get_model
+from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_distill_train_step, put_batch,
@@ -114,21 +115,33 @@ def distill(teacher_pack, student_pack, config, args, mesh):
         val_map = float(coco_evaluator.stats["bbox"][0])
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
-            ckpt_util.save_ckpt(ckpt_path, params=s_params, state=s_state,
-                                opt_state=opt_state,
-                                best_value=best_val_map, config=config,
-                                args=vars(args))
+            # ckpt writes are master-only (reference save_on_master,
+            # misc_util.py:260-262); every process agrees on val_map after
+            # the evaluator merge, so the best-value bookkeeping stays
+            # consistent everywhere
+            multihost.save_on_master(
+                ckpt_util.save_ckpt, ckpt_path, params=s_params,
+                state=s_state, opt_state=opt_state,
+                best_value=best_val_map, config=config, args=vars(args))
             print(f"saved best ckpt (val mAP {val_map:.4f})")
+    multihost.barrier("mimic_distill_end")
     return s_params, s_state
 
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
-    if args.world_size:
+    if args.world_size and not distributed:
         devices = devices[:args.world_size]
-    mesh = make_mesh_for_batch(int(config["train"]["batch_size"]), devices)
-    print(f"mesh: {mesh.devices.size} device(s)")
+    # train.batch_size is per-process (reference DDP semantics); the mesh
+    # spans every chip of every process, so the global batch scales with
+    # process count
+    global_batch = (int(config["train"]["batch_size"])
+                    * jax.process_count())
+    mesh = make_mesh_for_batch(global_batch, devices)
+    print(f"mesh: {mesh.devices.size} device(s), "
+          f"{jax.process_count()} process(es)")
 
     teacher, t_params, t_state = get_model(config["teacher_model"],
                                            seed=args.seed)

@@ -1,0 +1,131 @@
+"""Multi-process (2-proc jax.distributed over CPU) eval parity.
+
+The reference shards data with DistributedSampler and merges eval via pickle
+all_gather (src/utils/misc_util.py:72-112, coco_eval_util.py:158-177).  Here
+each process loads its shard (runners.common.loaders_from_config derives
+shard identity from jax.process_index()) and
+CocoEvaluator.synchronize_between_processes merges — this test requires the
+merged 2-process stats to equal the single-process stats bit-for-bit.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+DRIVER = r"""
+import json, sys
+import numpy as np
+from tests.fixtures import make_coco_fixture
+from hnd_ghnd_tpu.parallel import multihost
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.models.factory import get_model
+
+
+class A:  # the runner args surface consumed by maybe_init_distributed
+    coordinator_address = None
+    num_processes = None
+    process_id = None
+
+
+args = A()
+if len(sys.argv) > 2:
+    args.coordinator_address = sys.argv[2]
+    args.num_processes = int(sys.argv[3])
+    args.process_id = int(sys.argv[4])
+multihost.maybe_init_distributed(args)
+
+fixture_root = sys.argv[1]
+img_dir, ann_file = make_coco_fixture(fixture_root, num_images=8, seed=7,
+                                      num_classes=4)
+split = {"images": img_dir, "annotations": ann_file,
+         "remove_non_annotated_imgs": False, "jpeg_quality": None}
+config = {
+    "dataset": {"name": "tiny", "num_workers": 2,
+                "splits": {"train": dict(split), "val": dict(split),
+                           "test": dict(split)}},
+    "tpu": {"buckets": [[96, 96]], "min_sizes": [64], "max_size": 96},
+    "test": {"batch_size": 1},
+}
+model_cfg = {"name": "faster_rcnn",
+             "backbone": {"name": "resnet50",
+                          "params": {"pretrained": False}},
+             "params": {"num_classes": 5, "pretrained": False}}
+model, params, state = get_model(model_cfg, seed=3)
+_, _, test_loader = common.loaders_from_config(config, model.kind, 1)
+local_images = sum(1 for _ in test_loader)
+ev = common.evaluate(model, params, state, test_loader)
+out = {
+    "rank": multihost.get_rank(),
+    "world": multihost.get_world_size(),
+    "local_batches": local_images,
+    "merged_images": len(ev.evals["bbox"].img_ids),
+    "merged_dets": int(sum(len(v) for v in ev.evals["bbox"].dts.values())),
+    "stats": [float(x) for x in ev.evals["bbox"].stats],
+    "precision_sum": float(ev.evals["bbox"].precision.sum()),
+}
+# bypass the multihost print patch (non-master prints are suppressed,
+# reference main_util.py:29-40) so every rank reports its result
+sys.stdout.write("RESULT " + json.dumps(out) + "\n")
+sys.stdout.flush()
+"""
+
+
+def _run(extra_argv, env_extra, fixture_root):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(env_extra)
+    return subprocess.Popen(
+        [sys.executable, "-c", DRIVER, fixture_root] + extra_argv,
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+
+
+def _result(proc, timeout=540):
+    out, err = proc.communicate(timeout=timeout)
+    assert proc.returncode == 0, err[-3000:]
+    for line in out.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise AssertionError(f"no RESULT line in output:\n{out[-2000:]}")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class TestTwoProcessEvalParity:
+    def test_sharded_eval_merges_to_single_process_stats(self, tmp_path):
+        single = _result(_run([], {}, str(tmp_path / "fix_single")))
+        assert single["world"] == 1
+        assert single["merged_images"] == 8
+
+        port = _free_port()
+        addr = f"127.0.0.1:{port}"
+        fix2 = str(tmp_path / "fix_two")
+        p0 = _run([addr, "2", "0"], {}, fix2 + "0")
+        p1 = _run([addr, "2", "1"], {}, fix2 + "1")
+        r0 = _result(p0)
+        r1 = _result(p1)
+
+        for r in (r0, r1):
+            assert r["world"] == 2
+            # each process evaluated only its shard...
+            assert r["local_batches"] == 4
+            # ...but after the merge holds the full image/prediction set
+            assert r["merged_images"] == 8
+            assert r["merged_dets"] == single["merged_dets"]
+            # identical stats everywhere, bit-for-bit vs single-process
+            np.testing.assert_array_equal(r["stats"], single["stats"])
+            assert r["precision_sum"] == single["precision_sum"]
