@@ -310,7 +310,13 @@ class RoIHeads:
             targets["boxes_valid"], keys)
 
     def loss(self, params: Params, feats, image_shape, sampled):
-        """Fast R-CNN classification + box-regression losses."""
+        """Fast R-CNN classification + box-regression losses.
+
+        torchvision fastrcnn_loss normalization exactly: cross-entropy is
+        the MEAN over the concatenated batch of sampled proposals, box
+        smooth-L1 is the positive-row SUM over the same concatenation
+        divided by the total sampled count — correct even when per-image
+        sampled counts differ."""
         sel_boxes, cls, reg, sel_pos, sel_on, _ = sampled
 
         def per_image(feats_i, boxes, labels, reg_t, pos, on):
@@ -318,20 +324,21 @@ class RoIHeads:
                 params, feats_i, boxes, image_shape, on)
             logp = jax.nn.log_softmax(cls_logits, axis=-1)
             ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-            cls_loss = jnp.sum(ce * on) / jnp.maximum(on.sum(), 1.0)
+            cls_sum = jnp.sum(ce * on)
             r = boxes.shape[0]
             deltas = box_deltas.reshape(r, self.cfg.num_classes, 4)
             sel_deltas = jnp.take_along_axis(
                 deltas, labels[:, None, None].astype(jnp.int32), axis=1)[:, 0]
             l1 = _smooth_l1(sel_deltas, reg_t, beta=1.0).sum(-1)
-            box_loss = jnp.sum(l1 * pos) / jnp.maximum(on.sum(), 1.0)
-            return cls_loss, box_loss
+            box_sum = jnp.sum(l1 * pos)
+            return cls_sum, box_sum, on.sum()
 
-        cls_losses, box_losses = jax.vmap(per_image)(
+        cls_sums, box_sums, counts = jax.vmap(per_image)(
             list(feats), sel_boxes, cls, reg, sel_pos.astype(jnp.float32),
             sel_on.astype(jnp.float32))
-        return {"loss_classifier": cls_losses.mean(),
-                "loss_box_reg": box_losses.mean()}
+        n_total = jnp.maximum(counts.sum(), 1.0)
+        return {"loss_classifier": cls_sums.sum() / n_total,
+                "loss_box_reg": box_sums.sum() / n_total}
 
     # --------------------------------------------------- mask/keypoint train
     MAX_POSITIVES = 128  # >= 512 * 0.25, the sampler's positive cap
@@ -372,12 +379,14 @@ class RoIHeads:
             targets = _project_boxes_on_masks(own_mask, bxs, 1.0 / mask_stride, m)
             bce = _bce_logits(sel, targets)
             per_roi = bce.mean(axis=(1, 2))
-            return jnp.sum(per_roi * p) / jnp.maximum(p.sum(), 1.0)
+            return jnp.sum(per_roi * p), p.sum()
 
-        losses = jax.vmap(per_image)(list(feats), boxes, labels,
-                                     pos.astype(jnp.float32), gt_idx,
-                                     gt_masks_q)
-        return {"loss_mask": losses.mean()}
+        # torchvision maskrcnn_loss: BCE mean over the concatenated batch of
+        # positive proposals (every 28x28 raster weighted equally)
+        bce_sums, counts = jax.vmap(per_image)(list(feats), boxes, labels,
+                                               pos.astype(jnp.float32),
+                                               gt_idx, gt_masks_q)
+        return {"loss_mask": bce_sums.sum() / jnp.maximum(counts.sum(), 1.0)}
 
     def keypoint_loss(self, params: Params, feats, image_shape, sampled,
                       gt_keypoints: jnp.ndarray):
@@ -411,12 +420,14 @@ class RoIHeads:
             logp = jax.nn.log_softmax(plogits, axis=-1)
             ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
             vf = valid.astype(jnp.float32)
-            return jnp.sum(ce * vf) / jnp.maximum(vf.sum(), 1.0)
+            return jnp.sum(ce * vf), vf.sum()
 
-        losses = jax.vmap(per_image)(list(feats), boxes,
-                                     pos.astype(jnp.float32), gt_idx,
-                                     gt_keypoints)
-        return {"loss_keypoint": losses.mean()}
+        # torchvision keypointrcnn_loss: cross-entropy mean over the
+        # concatenated batch of visible keypoints
+        ce_sums, counts = jax.vmap(per_image)(list(feats), boxes,
+                                              pos.astype(jnp.float32), gt_idx,
+                                              gt_keypoints)
+        return {"loss_keypoint": ce_sums.sum() / jnp.maximum(counts.sum(), 1.0)}
 
 
 def _project_boxes_on_masks(masks: jnp.ndarray, boxes: jnp.ndarray,

@@ -164,8 +164,10 @@ class RPN:
         matches allowed (best anchor per gt forced fg).  256 anchors sampled
         per image at <= 50% positive.  Losses: BCE-with-logits on sampled
         objectness, smooth-L1 (beta=1/9, sum) on positive regressions,
-        normalized by the total sampled count — reference/torchvision
-        normalization exactly.
+        both normalized by the total sampled count over the CONCATENATED
+        batch (torchvision compute_loss: cat all images' sampled indices,
+        then sum/total) — exact even when per-image sampled counts differ
+        (scarce-positive or heavily-ignored images).
         """
         cfg = self.cfg
         obj_lvls, delta_lvls, anchors_np = raw
@@ -184,19 +186,19 @@ class RPN:
                 labels, cfg.batch_size_per_image, cfg.positive_fraction, key)
             reg_targets = box_ops.encode(matched, anchors)
             box_l = _smooth_l1(dl, reg_targets, beta=1.0 / 9.0)
-            box_loss = jnp.sum(box_l.sum(-1) * pos)
+            box_sum = jnp.sum(box_l.sum(-1) * pos)
             sampled = pos + neg
-            obj_loss = jnp.sum(
+            obj_sum = jnp.sum(
                 _bce_logits(obj, labels.astype(jnp.float32)) * sampled)
-            n_sampled = jnp.maximum(sampled.sum(), 1.0)
-            return box_loss / n_sampled, obj_loss / n_sampled
+            return box_sum, obj_sum, sampled.sum()
 
         keys = jax.random.split(rng, b)
-        box_losses, obj_losses = jax.vmap(per_image)(
+        box_sums, obj_sums, counts = jax.vmap(per_image)(
             objectness, deltas, targets["boxes"],
             targets["boxes_valid"], keys)
-        return {"loss_objectness": obj_losses.mean(),
-                "loss_rpn_box_reg": box_losses.mean()}
+        n_total = jnp.maximum(counts.sum(), 1.0)
+        return {"loss_objectness": obj_sums.sum() / n_total,
+                "loss_rpn_box_reg": box_sums.sum() / n_total}
 
 
 # ---------------------------------------------------------------------------

@@ -117,3 +117,133 @@ class TestMaskProjection:
         assert out.shape == (1, 28, 28)
         assert out[0, 14, 14] > 0.9   # center inside
         assert out.mean() > 0.7
+
+
+class TestBatchConcatNormalization:
+    """Loss normalization must follow torchvision's batch-concat semantics
+    exactly: sums over the CONCATENATED per-image sample sets divided by the
+    total count — NOT per-image means averaged.  The two differ whenever
+    per-image sampled counts differ (scarce positives, heavily-ignored
+    images); these oracles construct exactly that case."""
+
+    def test_fastrcnn_loss_matches_torch_on_unequal_counts(self):
+        import torch
+        import torch.nn.functional as F
+        from hnd_ghnd_tpu.models.roi_heads import RoIConfig, RoIHeads
+
+        ncls = 5
+        roi = RoIHeads(RoIConfig(num_classes=ncls))
+        params = roi.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        feats = [jnp.asarray(rng.randn(2, 24 // (2 ** i), 32 // (2 ** i), 256)
+                             .astype(np.float32) * 0.1) for i in range(4)]
+        image_shape = (96, 128)
+
+        S = 8
+        xy = rng.rand(2, S, 2) * 60
+        wh = rng.rand(2, S, 2) * 30 + 8
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, ncls, (2, S)), jnp.int32)
+        reg = jnp.asarray(rng.randn(2, S, 4).astype(np.float32) * 0.1)
+        # UNEQUAL counts: image0 has 8 sampled / 3 positive,
+        #                 image1 has 5 sampled / 1 positive
+        on = np.zeros((2, S), bool)
+        on[0, :8] = True
+        on[1, :5] = True
+        pos = np.zeros((2, S), bool)
+        pos[0, :3] = True
+        pos[1, :1] = True
+        labels = jnp.where(jnp.asarray(pos), jnp.maximum(labels, 1), 0)
+        sampled = (boxes, labels, reg, jnp.asarray(pos), jnp.asarray(on),
+                   jnp.zeros((2, S), jnp.int32))
+
+        got = roi.loss(params, feats, image_shape, sampled)
+
+        # torch oracle on the model's own logits (fastrcnn_loss semantics)
+        ce_chunks, l1_chunks = [], []
+        n_total = 0
+        for i in range(2):
+            cls_logits, box_deltas = roi._box_forward(
+                params, [f[i] for f in feats], boxes[i], image_shape,
+                jnp.asarray(on[i]))
+            cls_t = torch.from_numpy(np.asarray(cls_logits, np.float64))
+            lbl_t = torch.from_numpy(np.asarray(labels[i], np.int64))
+            on_i = np.where(on[i])[0]
+            pos_i = np.where(pos[i])[0]
+            ce_chunks.append(F.cross_entropy(
+                cls_t[on_i], lbl_t[on_i], reduction="sum"))
+            deltas = torch.from_numpy(
+                np.asarray(box_deltas, np.float64)).reshape(S, ncls, 4)
+            sel = deltas[torch.arange(S), lbl_t.clamp(min=0)]
+            l1_chunks.append(F.smooth_l1_loss(
+                sel[pos_i], torch.from_numpy(np.asarray(reg[i], np.float64))[pos_i],
+                reduction="sum"))
+            n_total += len(on_i)
+        want_cls = float(sum(ce_chunks)) / n_total
+        want_box = float(sum(l1_chunks)) / n_total
+        assert float(got["loss_classifier"]) == pytest.approx(want_cls, rel=1e-5)
+        assert float(got["loss_box_reg"]) == pytest.approx(want_box, rel=1e-5)
+
+    def test_rpn_loss_matches_torch_on_unequal_counts(self):
+        import torch
+        import torch.nn.functional as F
+        from hnd_ghnd_tpu.models.rpn import (RPN, RPNConfig, _match_anchors)
+        from hnd_ghnd_tpu.ops import boxes as box_ops
+        from hnd_ghnd_tpu.ops.anchors import grid_anchors
+
+        # tiny grids -> few anchors, so the 256 sampling cap never binds and
+        # the sampled set is deterministic (all labeled anchors)
+        cfg = RPNConfig()
+        rpn = RPN(cfg)
+        rng = np.random.RandomState(1)
+        grid_sizes = [(4, 5), (2, 3)]
+        image_shape = (64, 80)
+        anchors_np = grid_anchors(grid_sizes, image_shape,
+                                  cfg.anchor_sizes[:2], cfg.aspect_ratios[:2])
+        n = sum(a.shape[0] for a in anchors_np)  # 78 anchors < 256
+        obj_lvls = [jnp.asarray(rng.randn(2, gh, gw, 3).astype(np.float32))
+                    for gh, gw in grid_sizes]
+        delta_lvls = [jnp.asarray(rng.randn(2, gh, gw, 3, 4)
+                                  .astype(np.float32) * 0.1)
+                      for gh, gw in grid_sizes]
+        # image0: one gt -> some anchors ignored (IoU in (0.3, 0.7)) -> fewer
+        # sampled; image1: no gt -> all anchors sampled as background
+        gt = np.zeros((2, 1, 4), np.float32)
+        gt[0, 0] = [8, 8, 56, 56]
+        gt_valid = np.zeros((2, 1), bool)
+        gt_valid[0, 0] = True
+        targets = {"boxes": jnp.asarray(gt),
+                   "boxes_valid": jnp.asarray(gt_valid)}
+
+        got = rpn.loss((obj_lvls, delta_lvls, anchors_np), targets,
+                       jax.random.PRNGKey(0))
+
+        anchors = jnp.asarray(np.concatenate(anchors_np))
+        obj = np.concatenate([np.asarray(o).reshape(2, -1) for o in obj_lvls], 1)
+        dl = np.concatenate([np.asarray(d).reshape(2, -1, 4)
+                             for d in delta_lvls], 1)
+        bce_chunks, l1_chunks, n_total = [], [], 0
+        counts = []
+        for i in range(2):
+            labels, matched = _match_anchors(
+                anchors, jnp.asarray(gt[i]), jnp.asarray(gt_valid[i]),
+                cfg.fg_iou_thresh, cfg.bg_iou_thresh, allow_low_quality=True)
+            labels = np.asarray(labels)
+            sampled = labels >= 0  # caps not binding: all labeled anchors
+            pos = labels == 1
+            counts.append(int(sampled.sum()))
+            reg_t = np.asarray(box_ops.encode(matched, anchors))
+            bce_chunks.append(F.binary_cross_entropy_with_logits(
+                torch.from_numpy(obj[i][sampled].astype(np.float64)),
+                torch.from_numpy(labels[sampled].astype(np.float64)),
+                reduction="sum"))
+            l1_chunks.append(F.smooth_l1_loss(
+                torch.from_numpy(dl[i][pos].astype(np.float64)),
+                torch.from_numpy(reg_t[pos].astype(np.float64)),
+                reduction="sum", beta=1.0 / 9.0))
+            n_total += int(sampled.sum())
+        assert counts[0] != counts[1], "scenario must have unequal counts"
+        want_obj = float(sum(bce_chunks)) / n_total
+        want_box = float(sum(l1_chunks)) / n_total
+        assert float(got["loss_objectness"]) == pytest.approx(want_obj, rel=1e-4)
+        assert float(got["loss_rpn_box_reg"]) == pytest.approx(want_box, rel=1e-4)
