@@ -29,7 +29,29 @@ from hnd_ghnd_tpu.data.coco import CocoDataset
 MAX_GT = 100
 
 
-MASK_TARGET_STRIDE = 4  # gt masks shipped to device at bucket/4 resolution
+MASK_CROP_SIZE = 112  # box-aligned gt mask raster resolution (+1px border)
+
+
+def mask_box_crop(mask: "np.ndarray", box) -> "np.ndarray":
+    """Box-aligned gt raster: sample the full-res mask at the pixel centers
+    of an R x R grid over the gt box (exact bilinear — the same sample
+    points reference project_masks_on_boxes reads from the full-image
+    raster), with a 1px zero border so device-side projection decays to
+    zero outside the box.  Returns [R+2, R+2] float16."""
+    import cv2
+    r = MASK_CROP_SIZE
+    x1, y1, x2, y2 = [float(v) for v in box]
+    gw = max(x2 - x1, 1.0)
+    gh = max(y2 - y1, 1.0)
+    affine = np.asarray([[gw / r, 0.0, x1 + 0.5 * gw / r],
+                         [0.0, gh / r, y1 + 0.5 * gh / r]], np.float32)
+    crop = cv2.warpAffine(
+        mask.astype(np.float32), affine, (r, r),
+        flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+    out = np.zeros((r + 2, r + 2), np.float16)
+    out[1:-1, 1:-1] = crop.astype(np.float16)
+    return out
 
 
 def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT,
@@ -41,9 +63,8 @@ def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT,
     with_masks = any("masks" in t for t in targets) and bucket is not None
     with_kps = any("keypoints" in t for t in targets)
     if with_masks:
-        mh = bucket[0] // MASK_TARGET_STRIDE
-        mw = bucket[1] // MASK_TARGET_STRIDE
-        masks_q = np.zeros((b, max_gt, mh, mw), np.uint8)
+        r = MASK_CROP_SIZE
+        masks_crop = np.zeros((b, max_gt, r + 2, r + 2), np.float16)
     if with_kps:
         kps = np.zeros((b, max_gt, 17, 3), np.float32)
     for i, t in enumerate(targets):
@@ -52,22 +73,14 @@ def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT,
         labels[i, :g] = t["labels"][:g]
         valid[i, :g] = True
         if with_masks and "masks" in t and g:
-            import cv2
             for j in range(g):
-                # the image sits in the bucket's top-left corner, so its
-                # quarter-res raster goes there too (pad stays zero)
-                m = t["masks"][j]
-                q = cv2.resize(
-                    m.astype(np.float32),
-                    (max(m.shape[1] // MASK_TARGET_STRIDE, 1),
-                     max(m.shape[0] // MASK_TARGET_STRIDE, 1)),
-                    interpolation=cv2.INTER_LINEAR)
-                masks_q[i, j, :q.shape[0], :q.shape[1]] = (q >= 0.5)
+                masks_crop[i, j] = mask_box_crop(t["masks"][j],
+                                                 t["boxes"][j])
         if with_kps and "keypoints" in t and g:
             kps[i, :g] = t["keypoints"][:g]
     out = {"boxes": boxes, "labels": labels, "boxes_valid": valid}
     if with_masks:
-        out["masks_q4"] = masks_q
+        out["masks_crop"] = masks_crop
     if with_kps:
         out["keypoints"] = kps
     return out

@@ -156,10 +156,11 @@ class RCNN:
                 proposals, prop_valid, targets, roi_rng)
             roi_losses = self.roi_heads.loss(params["roi_heads"], fpn_feats,
                                              image_shape, sampled)
-            if self.roi_heads.mask_head is not None and "masks_q4" in targets:
+            if (self.roi_heads.mask_head is not None
+                    and "masks_crop" in targets):
                 roi_losses.update(self.roi_heads.mask_loss(
                     params["roi_heads"], fpn_feats, image_shape, sampled,
-                    targets["masks_q4"]))
+                    targets["boxes"], targets["masks_crop"]))
             if (self.roi_heads.keypoint_head is not None
                     and "keypoints" in targets):
                 roi_losses.update(self.roi_heads.keypoint_loss(

@@ -355,28 +355,33 @@ class RoIHeads:
         return jax.vmap(per_image)(sel_boxes, cls, sel_pos, sel_gt)
 
     def mask_loss(self, params: Params, feats, image_shape, sampled,
-                  gt_masks_q: jnp.ndarray, mask_stride: int = 4):
+                  gt_boxes: jnp.ndarray, gt_mask_crops: jnp.ndarray):
         """Mask R-CNN training loss (torchvision maskrcnn_loss semantics):
         BCE between the positive proposals' predicted 28x28 mask (at the gt
         class channel) and the gt mask projected onto the proposal box.
 
-        gt_masks_q: [B, G, H/stride, W/stride] uint8 gt masks at reduced
-        resolution (the projection roi_align samples bilinearly, so a
-        stride-4 raster loses little; the reference projects from full res).
+        gt_mask_crops: [B, G, R+2, R+2] box-aligned gt rasters (each gt's
+        full-res mask resampled into its own box at R=MASK_CROP_SIZE, 1px
+        zero border).  The reference projects the full-res image raster
+        (torchvision project_masks_on_boxes via rcnn.py:262-272); sampling
+        the box-aligned crop reproduces that to ~3e-3 mean target delta /
+        <1e-3 loss delta (tests/test_train_losses.py oracle; PARITY.md) at
+        1/16th the device memory of full-res rasters.
         """
         boxes, labels, pos, gt_idx = self._select_positives(
             sampled, self.MAX_POSITIVES)
         m = 2 * self.cfg.mask_pool_size  # 28
 
-        def per_image(feats_i, bxs, lbl, p, gidx, masks_q):
+        def per_image(feats_i, bxs, lbl, p, gidx, g_boxes, crops):
             pooled = multiscale_roi_align(
                 feats_i[:4], bxs, image_shape, self.cfg.mask_pool_size,
                 boxes_valid=p > 0)
             logits = self.mask_head.apply(params["mask_head"], pooled)
             sel = jnp.take_along_axis(
                 logits, lbl[:, None, None, None], axis=-1)[..., 0]  # [P,28,28]
-            own_mask = masks_q[gidx].astype(jnp.float32)[..., None]  # [P,h,w,1]
-            targets = _project_boxes_on_masks(own_mask, bxs, 1.0 / mask_stride, m)
+            own_crop = crops[gidx].astype(jnp.float32)   # [P, R+2, R+2]
+            own_gbox = g_boxes[gidx]                     # [P, 4]
+            targets = _project_boxes_on_crops(own_crop, own_gbox, bxs, m)
             bce = _bce_logits(sel, targets)
             per_roi = bce.mean(axis=(1, 2))
             return jnp.sum(per_roi * p), p.sum()
@@ -385,7 +390,8 @@ class RoIHeads:
         # positive proposals (every 28x28 raster weighted equally)
         bce_sums, counts = jax.vmap(per_image)(list(feats), boxes, labels,
                                                pos.astype(jnp.float32),
-                                               gt_idx, gt_masks_q)
+                                               gt_idx, gt_boxes,
+                                               gt_mask_crops)
         return {"loss_mask": bce_sums.sum() / jnp.maximum(counts.sum(), 1.0)}
 
     def keypoint_loss(self, params: Params, feats, image_shape, sampled,
@@ -428,6 +434,57 @@ class RoIHeads:
                                               pos.astype(jnp.float32), gt_idx,
                                               gt_keypoints)
         return {"loss_keypoint": ce_sums.sum() / jnp.maximum(counts.sum(), 1.0)}
+
+
+MASK_CROP_SIZE = 112  # box-aligned gt raster resolution (4x the 28 target)
+
+
+def _project_boxes_on_crops(crops: jnp.ndarray, gt_boxes: jnp.ndarray,
+                            boxes: jnp.ndarray, out_size: int,
+                            sampling_ratio: int = 2) -> jnp.ndarray:
+    """Project proposal boxes onto box-aligned gt rasters.
+
+    crops [P, R+2, R+2]: each gt mask resampled into an R x R grid over its
+    own box (pixel centers at gy1 + (u+0.5)*gh/R) with a 1px zero border so
+    samples outside the gt box decay to zero like the reference's full-image
+    raster.  boxes/gt_boxes [P, 4] in image coords.  Returns [P, out, out]
+    float targets — roi_align sample points identical to torchvision
+    project_masks_on_boxes, evaluated on the crop raster.
+    """
+    p, rp, _ = crops.shape
+    r = rp - 2
+    s = sampling_ratio
+
+    def one(crop, gbox, box):
+        x1, y1, x2, y2 = box
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        bin_w = roi_w / out_size
+        bin_h = roi_h / out_size
+        bins = jnp.arange(out_size, dtype=jnp.float32)
+        samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        ys = y1 + bins[:, None] * bin_h + samp[None, :] * bin_h  # [out, s]
+        xs = x1 + bins[:, None] * bin_w + samp[None, :] * bin_w
+        gw = jnp.maximum(gbox[2] - gbox[0], 1.0)
+        gh = jnp.maximum(gbox[3] - gbox[1], 1.0)
+        # image point -> padded-crop coordinate (crop[u+1] sits at image
+        # y = gy1 + (u+0.5)*gh/R)
+        u = (ys - gbox[1]) * r / gh + 0.5
+        v = (xs - gbox[0]) * r / gw + 0.5
+        from hnd_ghnd_tpu.ops.roi_align import _bilinear_params
+        y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(u, jnp.float32(rp))
+        x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(v, jnp.float32(rp))
+        acc = 0.0
+        ok = (y_ok.astype(jnp.float32)[:, :, None, None]
+              * x_ok.astype(jnp.float32)[None, None, :, :])
+        for yi, wy in ((y_lo, wy_lo), (y_hi, wy_hi)):
+            for xi, wx in ((x_lo, wx_lo), (x_hi, wx_hi)):
+                vals = crop[yi[:, :, None, None], xi[None, None, :, :]]
+                wgt = wy[:, :, None, None] * wx[None, None, :, :] * ok
+                acc = acc + vals * wgt
+        return acc.mean(axis=(1, 3))  # average the s x s samples
+
+    return jax.vmap(one)(crops, gt_boxes, boxes)
 
 
 def _project_boxes_on_masks(masks: jnp.ndarray, boxes: jnp.ndarray,

@@ -28,12 +28,16 @@ def make_targets(seed=1, with_masks=False, with_kps=False, num_classes=5):
          "labels": jnp.asarray(rng.randint(1, num_classes, (B, G)), jnp.int32),
          "boxes_valid": jnp.asarray(np.ones((B, G), bool))}
     if with_masks:
-        masks = np.zeros((B, G, H // 4, W // 4), np.uint8)
+        from hnd_ghnd_tpu.data.loader import MASK_CROP_SIZE, mask_box_crop
+        crops = np.zeros((B, G, MASK_CROP_SIZE + 2, MASK_CROP_SIZE + 2),
+                         np.float16)
         for b in range(B):
             for g in range(G):
-                x1, y1, x2, y2 = (boxes[b, g] / 4).astype(int)
-                masks[b, g, y1:y2, x1:x2] = 1
-        t["masks_q4"] = jnp.asarray(masks)
+                x1, y1, x2, y2 = boxes[b, g].astype(int)
+                m = np.zeros((H, W), np.uint8)
+                m[y1:y2, x1:x2] = 1
+                crops[b, g] = mask_box_crop(m, boxes[b, g])
+        t["masks_crop"] = jnp.asarray(crops)
     if with_kps:
         kps = np.zeros((B, G, 17, 3), np.float32)
         for b in range(B):
@@ -107,16 +111,100 @@ class TestKeypointLoss:
 
 class TestMaskProjection:
     def test_project_gt_mask_onto_own_box(self):
-        from hnd_ghnd_tpu.models.roi_heads import _project_boxes_on_masks
+        from hnd_ghnd_tpu.data.loader import mask_box_crop
+        from hnd_ghnd_tpu.models.roi_heads import _project_boxes_on_crops
         # full-one mask inside the box region -> target close to 1
-        mask = np.zeros((1, 32, 32, 1), np.float32)
-        mask[0, 4:16, 4:24, 0] = 1.0
-        boxes = jnp.asarray([[16.0, 16.0, 96.0, 64.0]])  # /4 = (4,4)-(24,16)
-        out = np.asarray(_project_boxes_on_masks(
-            jnp.asarray(mask), boxes, 0.25, 28))
+        mask = np.zeros((128, 128), np.float32)
+        mask[16:64, 16:96] = 1.0
+        box = np.asarray([16.0, 16.0, 96.0, 64.0], np.float32)
+        crop = mask_box_crop(mask, box)
+        out = np.asarray(_project_boxes_on_crops(
+            jnp.asarray(crop[None], jnp.float32), jnp.asarray(box[None]),
+            jnp.asarray(box[None]), 28))
         assert out.shape == (1, 28, 28)
         assert out[0, 14, 14] > 0.9   # center inside
         assert out.mean() > 0.7
+
+    def _reference_projection(self, mask, box, M=28):
+        """torchvision project_masks_on_boxes: roi_align on the FULL-RES
+        image raster, spatial_scale=1, ADAPTIVE sampling ratio ceil(bin)."""
+        h, w = mask.shape
+
+        def bilinear(y, x):
+            if y < -1.0 or y > h or x < -1.0 or x > w:
+                return 0.0
+            y = max(y, 0.0)
+            x = max(x, 0.0)
+            y_lo, x_lo = int(np.floor(y)), int(np.floor(x))
+            if y_lo >= h - 1:
+                y_hi = y_lo = h - 1
+                y = float(y_lo)
+            else:
+                y_hi = y_lo + 1
+            if x_lo >= w - 1:
+                x_hi = x_lo = w - 1
+                x = float(x_lo)
+            else:
+                x_hi = x_lo + 1
+            ly, lx = y - y_lo, x - x_lo
+            return ((1 - ly) * (1 - lx) * mask[y_lo, x_lo]
+                    + (1 - ly) * lx * mask[y_lo, x_hi]
+                    + ly * (1 - lx) * mask[y_hi, x_lo]
+                    + ly * lx * mask[y_hi, x_hi])
+
+        x1, y1, x2, y2 = box
+        roi_w, roi_h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bw, bh = roi_w / M, roi_h / M
+        sh, sw = int(np.ceil(roi_h / M)), int(np.ceil(roi_w / M))
+        out = np.zeros((M, M))
+        for ph in range(M):
+            for pw in range(M):
+                acc = 0.0
+                for iy in range(sh):
+                    y = y1 + ph * bh + (iy + 0.5) * bh / sh
+                    for ix in range(sw):
+                        x = x1 + pw * bw + (ix + 0.5) * bw / sw
+                        acc += bilinear(y, x)
+                out[ph, pw] = acc / (sh * sw)
+        return out
+
+    def test_crop_projection_matches_reference_semantics(self):
+        """Oracle: the box-aligned-crop projection vs the reference's
+        full-res adaptive roi_align (project_masks_on_boxes, used via
+        /root/reference/src/models/org/rcnn.py:262-272).  Quantifies the
+        deviation on realistic elliptical masks: mean target delta < 5e-3,
+        BCE-loss delta < 1e-3 (the quarter-res scheme this replaced measured
+        0.029 / 0.0034 — see PARITY.md)."""
+        from hnd_ghnd_tpu.data.loader import mask_box_crop
+        from hnd_ghnd_tpu.models.roi_heads import _project_boxes_on_crops
+        rng = np.random.RandomState(0)
+        Himg, Wimg = 192, 256
+        target_deltas, loss_deltas = [], []
+        for _ in range(10):
+            cy, cx = rng.uniform(60, 130), rng.uniform(80, 180)
+            ry, rx = rng.uniform(15, 60), rng.uniform(15, 70)
+            yy, xx = np.mgrid[0:Himg, 0:Wimg]
+            mask = (((yy - cy) / ry) ** 2
+                    + ((xx - cx) / rx) ** 2 <= 1).astype(np.float32)
+            ys, xs = np.where(mask > 0)
+            gbox = np.asarray([xs.min(), ys.min(), xs.max() + 1,
+                               ys.max() + 1], np.float32)
+            box = np.asarray([cx - rx * rng.uniform(0.8, 1.3),
+                              cy - ry * rng.uniform(0.8, 1.3),
+                              cx + rx * rng.uniform(0.8, 1.3),
+                              cy + ry * rng.uniform(0.8, 1.3)], np.float32)
+            want = self._reference_projection(mask, box)
+            crop = mask_box_crop(mask, gbox)
+            got = np.asarray(_project_boxes_on_crops(
+                jnp.asarray(crop[None], jnp.float32),
+                jnp.asarray(gbox[None]), jnp.asarray(box[None]), 28))[0]
+            target_deltas.append(np.abs(got - want).mean())
+            logits = rng.randn(28, 28)
+            bce = lambda t: (np.maximum(logits, 0) - logits * t
+                             + np.log1p(np.exp(-np.abs(logits))))
+            loss_deltas.append(abs(bce(got).mean() - bce(want).mean()))
+        assert np.mean(target_deltas) < 5e-3, np.mean(target_deltas)
+        assert np.mean(loss_deltas) < 1e-3, np.mean(loss_deltas)
 
 
 class TestBatchConcatNormalization:
