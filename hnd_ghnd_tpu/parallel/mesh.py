@@ -216,5 +216,5 @@ def make_detection_train_step(model, optimizer,
 
     # sharding is placement-driven: callers replicate params/opt state and
     # put_batch-shard the batch/targets (targets may carry model-dependent
-    # extras like masks_q4/keypoints, so no fixed sharding pytree here)
+    # extras like masks_crop/keypoints, so no fixed sharding pytree here)
     return jax.jit(step, donate_argnums=(0, 1, 2))

@@ -92,7 +92,8 @@ def train(model, params, state, config, args, mesh):
             logger.update(loss=loss_val,
                           **{k: float(v) for k, v in loss_dict.items()})
 
-        coco_evaluator = common.evaluate(model, params, state, val_loader)
+        coco_evaluator = common.evaluate(model, params, state, val_loader,
+                                         mesh=common.eval_mesh_for(val_loader, mesh))
         val_map = float(coco_evaluator.stats["bbox"][0])
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
@@ -122,7 +123,8 @@ def main(args):
         state = payload["state"] or state
 
     _, _, test_loader = common.loaders_from_config(config, model.kind, 1)
-    common.evaluate(model, params, state, test_loader)
+    common.evaluate(model, params, state, test_loader,
+                    mesh=common.eval_mesh_for(test_loader, mesh))
 
 
 def cli():

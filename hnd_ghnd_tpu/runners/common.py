@@ -70,17 +70,30 @@ class JitCache:
 
 def evaluate(model, params, state, loader: DetectionLoader,
              use_bottleneck_transformer: bool = False,
-             log_freq: int = 100) -> CocoEvaluator:
-    """COCO evaluation pass. Returns the summarized CocoEvaluator."""
+             log_freq: int = 100, mesh=None) -> CocoEvaluator:
+    """COCO evaluation pass. Returns the summarized CocoEvaluator.
+
+    With ``mesh`` (and an eval batch size divisible by its device count) the
+    batch is sharded over the mesh's data axis and params are replicated, so
+    per-epoch val no longer serializes onto one chip — the eval analog of
+    the sharded train step (the reference instead evaluates on a single
+    device per process, main_util.py:75-113)."""
     evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
     jits = JitCache(model)
     logger = MetricLogger()
+    shard = mesh is not None and mesh.devices.size > 1
+    if shard:
+        from hnd_ghnd_tpu.parallel.mesh import put_batch, replicate
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
     for batch, _, host_targets in logger.log_every(loader, log_freq, "Eval:"):
         shape = batch["images"].shape
         fwd = jits.eval_forward(shape, use_bottleneck_transformer)
         t0 = time.time()
-        dets = fwd(params, state,
-                   {k: jax.numpy.asarray(v) for k, v in batch.items()})
+        arrs = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+        if shard and shape[0] % mesh.devices.size == 0:
+            arrs = put_batch(arrs, mesh)
+        dets = fwd(params, state, arrs)
         dets = {k: np.asarray(v) for k, v in dets.items()}
         model_time = time.time() - t0
         t0 = time.time()
@@ -99,6 +112,27 @@ def evaluate(model, params, state, loader: DetectionLoader,
     evaluator.accumulate()
     evaluator.summarize()
     return evaluator
+
+
+def eval_mesh_for(loader: DetectionLoader, train_mesh):
+    """Data mesh for sharded eval: the largest subset of this process's OWN
+    devices from the training mesh that divides the eval batch size.
+
+    Eval must stay process-local: each process iterates its own shard of
+    the eval set (batch counts differ across processes), so a cross-process
+    SPMD program would deadlock — the merge happens on host afterwards
+    (CocoEvaluator.synchronize_between_processes).  Returns None (plain
+    single-device eval, the reference's behavior) when the eval batch is 1
+    or only one local device is available."""
+    if loader.batch_size <= 1 or train_mesh is None:
+        return None
+    from hnd_ghnd_tpu.parallel.mesh import make_mesh_for_batch
+    local = [d for d in train_mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    if not local:
+        return None
+    mesh = make_mesh_for_batch(loader.batch_size, local)
+    return mesh if mesh.devices.size > 1 else None
 
 
 def loaders_from_config(config: Dict[str, Any], model_kind: str,

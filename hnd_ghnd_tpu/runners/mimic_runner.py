@@ -111,7 +111,8 @@ def distill(teacher_pack, student_pack, config, args, mesh):
 
         coco_evaluator = common.evaluate(
             student, s_params, s_state, val_loader,
-            use_bottleneck_transformer=args.transform_bottleneck)
+            use_bottleneck_transformer=args.transform_bottleneck,
+            mesh=common.eval_mesh_for(val_loader, mesh))
         val_map = float(coco_evaluator.stats["bbox"][0])
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
@@ -159,12 +160,15 @@ def main(args):
 
     _, _, test_loader = common.loaders_from_config(
         config, student.kind, 1)
+    eval_mesh = common.eval_mesh_for(test_loader, mesh)
     if not args.student_only and not args.skip_teacher_eval:
         print("evaluating teacher")
-        common.evaluate(teacher, t_params, t_state, test_loader)
+        common.evaluate(teacher, t_params, t_state, test_loader,
+                        mesh=eval_mesh)
     print("evaluating student")
     common.evaluate(student, s_params, s_state, test_loader,
-                    use_bottleneck_transformer=args.transform_bottleneck)
+                    use_bottleneck_transformer=args.transform_bottleneck,
+                    mesh=eval_mesh)
 
 
 def cli():

@@ -129,3 +129,45 @@ class TestTwoProcessEvalParity:
             # identical stats everywhere, bit-for-bit vs single-process
             np.testing.assert_array_equal(r["stats"], single["stats"])
             assert r["precision_sum"] == single["precision_sum"]
+
+
+class TestMeshShardedEval:
+    def test_batched_mesh_eval_matches_batch1(self, tmp_path):
+        """Sharding eval batches over the data mesh must not change results:
+        batch-4 eval on a 4-device mesh == batch-1 single-device eval."""
+        import jax
+        from tests.fixtures import make_coco_fixture
+        from hnd_ghnd_tpu.models.factory import get_model
+        from hnd_ghnd_tpu.parallel.mesh import make_mesh_for_batch
+        from hnd_ghnd_tpu.runners import common
+
+        img_dir, ann_file = make_coco_fixture(str(tmp_path), num_images=8,
+                                              seed=7, num_classes=4)
+        split = {"images": img_dir, "annotations": ann_file,
+                 "remove_non_annotated_imgs": False, "jpeg_quality": None}
+        config = {
+            "dataset": {"name": "tiny", "num_workers": 2,
+                        "splits": {"train": dict(split), "val": dict(split),
+                                   "test": dict(split)}},
+            "tpu": {"buckets": [[96, 96]], "min_sizes": [64], "max_size": 96},
+            "test": {"batch_size": 1},
+        }
+        model_cfg = {"name": "faster_rcnn",
+                     "backbone": {"name": "resnet50",
+                                  "params": {"pretrained": False}},
+                     "params": {"num_classes": 5, "pretrained": False}}
+        model, params, state = get_model(model_cfg, seed=3)
+
+        _, _, loader_b1 = common.loaders_from_config(config, model.kind, 1)
+        ev1 = common.evaluate(model, params, state, loader_b1)
+
+        config4 = dict(config, test={"batch_size": 4})
+        _, _, loader_b4 = common.loaders_from_config(config4, model.kind, 1)
+        mesh = make_mesh_for_batch(4, jax.devices())
+        assert mesh.devices.size == 4
+        ev4 = common.evaluate(model, params, state, loader_b4, mesh=mesh)
+
+        np.testing.assert_allclose(ev4.evals["bbox"].stats,
+                                   ev1.evals["bbox"].stats, atol=1e-6)
+        assert (sum(len(v) for v in ev4.evals["bbox"].dts.values())
+                == sum(len(v) for v in ev1.evals["bbox"].dts.values()))
