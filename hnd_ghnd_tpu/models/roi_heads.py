@@ -26,7 +26,8 @@ from hnd_ghnd_tpu.models.rpn import (_balanced_sample, _bce_logits,
                                      _smooth_l1)
 from hnd_ghnd_tpu.ops import boxes as box_ops
 from hnd_ghnd_tpu.ops import nms as nms_ops
-from hnd_ghnd_tpu.ops.roi_align import multiscale_roi_align
+from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
+                                        multiscale_roi_align_batch)
 
 Params = Dict[str, Any]
 
@@ -199,12 +200,23 @@ class RoIHeads:
           (+ mask_logits [B, D, 28, 28], keypoint_logits [B, D, 56, 56, K]).
         """
         cfg = self.cfg
+        b, r = proposals.shape[:2]
 
-        def per_image(feats_i, props, pvalid, isize):
-            cls_logits, box_deltas = self._box_forward(
-                params, feats_i, props, image_shape, pvalid)
+        # Pool + box head over the WHOLE batch flat: one large gather and
+        # one [B*R, ...] matmul instead of B vmapped small ones (the gather
+        # is the eval-path bottleneck; see ops/roi_align.py)
+        pooled = multiscale_roi_align_batch(
+            feats[:4], proposals, image_shape, cfg.box_pool_size,
+            boxes_valid=prop_valid)  # [B, R, P, P, C]
+        rep = self.box_head.apply(
+            params["box_head"], pooled.reshape((b * r,) + pooled.shape[2:]))
+        flat_cls, flat_deltas = self.box_predictor.apply(
+            params["box_predictor"], rep)
+        all_cls = flat_cls.reshape(b, r, -1)
+        all_deltas = flat_deltas.reshape(b, r, -1)
+
+        def per_image(cls_logits, box_deltas, props, pvalid, isize):
             scores = jax.nn.softmax(cls_logits, axis=-1)  # [R, C]
-            r = props.shape[0]
             ncls = cfg.num_classes
             deltas = box_deltas.reshape(r, ncls, 4)
             boxes = box_ops.decode(deltas, props[:, None, :], BOX_CODER_WEIGHTS)
@@ -238,33 +250,35 @@ class RoIHeads:
             det_labels = jnp.where(keep_ok, t_labels[keep_idx], 0)
             return det_boxes, det_scores, det_labels, keep_ok
 
-        det_boxes, det_scores, det_labels, det_valid = jax.vmap(
-            lambda f, p, v, s: per_image(f, p, v, s))(
-                list(feats), proposals, prop_valid, image_sizes)
+        det_boxes, det_scores, det_labels, det_valid = jax.vmap(per_image)(
+            all_cls, all_deltas, proposals, prop_valid, image_sizes)
 
         out = {"boxes": det_boxes, "scores": det_scores,
                "labels": det_labels, "valid": det_valid}
+        d = det_boxes.shape[1]
 
         if self.mask_head is not None:
-            def mask_img(feats_i, boxes, valid):
-                pooled = multiscale_roi_align(
-                    feats_i[:4], boxes, image_shape, self.cfg.mask_pool_size,
-                    boxes_valid=valid)
-                return self.mask_head.apply(params["mask_head"], pooled)
-            logits = jax.vmap(mask_img)(list(feats), det_boxes, det_valid)
+            pooled = multiscale_roi_align_batch(
+                feats[:4], det_boxes, image_shape, self.cfg.mask_pool_size,
+                boxes_valid=det_valid)
+            logits = self.mask_head.apply(
+                params["mask_head"],
+                pooled.reshape((b * d,) + pooled.shape[2:]))
+            logits = logits.reshape((b, d) + logits.shape[1:])
             # select the channel of each detection's label -> [B, D, 28, 28]
             sel = jnp.take_along_axis(
                 logits, det_labels[:, :, None, None, None], axis=-1)[..., 0]
             out["mask_probs"] = jax.nn.sigmoid(sel)
 
         if self.keypoint_head is not None:
-            def kp_img(feats_i, boxes, valid):
-                pooled = multiscale_roi_align(
-                    feats_i[:4], boxes, image_shape, self.cfg.keypoint_pool_size,
-                    boxes_valid=valid)
-                return self.keypoint_head.apply(params["keypoint_head"], pooled)
-            out["keypoint_logits"] = jax.vmap(kp_img)(
-                list(feats), det_boxes, det_valid)
+            pooled = multiscale_roi_align_batch(
+                feats[:4], det_boxes, image_shape,
+                self.cfg.keypoint_pool_size, boxes_valid=det_valid)
+            kp_logits = self.keypoint_head.apply(
+                params["keypoint_head"],
+                pooled.reshape((b * d,) + pooled.shape[2:]))
+            out["keypoint_logits"] = kp_logits.reshape(
+                (b, d) + kp_logits.shape[1:])
 
         return out
 

@@ -68,6 +68,95 @@ def _bilinear_params(coord: jnp.ndarray, size: jnp.ndarray):
             1.0 - l_frac, l_frac, in_range)
 
 
+def _level_geometry(features: Sequence[jnp.ndarray],
+                    image_size: Tuple[int, int]):
+    """Static per-level geometry arrays (feature shapes are trace-time
+    constants on static buckets)."""
+    heights = np.array([f.shape[-3] for f in features], dtype=np.float32)
+    widths = np.array([f.shape[-2] for f in features], dtype=np.float32)
+    # torchvision infers scales as 2^round(log2(feat/img)) — exact powers of
+    # two for stride-aligned buckets.
+    scales = np.array(
+        [2.0 ** np.round(np.log2(f.shape[-3] / float(image_size[0])))
+         for f in features], dtype=np.float32)
+    offsets = np.concatenate(
+        [[0], np.cumsum([f.shape[-3] * f.shape[-2] for f in features])]
+    )[:len(features)].astype(np.int32)
+    return heights, widths, scales, offsets
+
+
+def _roi_align_flat(table: jnp.ndarray, geometry, boxes: jnp.ndarray,
+                    row_offset: jnp.ndarray | None, output_size: int,
+                    sampling_ratio: int) -> jnp.ndarray:
+    """Core fixed-shape RoIAlign: one big 4-corner gather over a flattened
+    [rows, C] feature table.
+
+    boxes: [M, 4]; row_offset: optional extra per-RoI base row (the image
+    offset when the table concatenates a whole batch).  Returns
+    [M, out, out, C].
+    """
+    heights, widths, scales, offsets = geometry
+    c = table.shape[-1]
+    dtype = table.dtype
+
+    lvl = assign_levels(boxes)  # [M]
+    lvl_scale = jnp.asarray(scales)[lvl]
+    lvl_h = jnp.asarray(heights)[lvl]
+    lvl_w = jnp.asarray(widths)[lvl]
+    lvl_off = jnp.asarray(offsets)[lvl]
+    if row_offset is not None:
+        lvl_off = lvl_off + row_offset
+
+    # RoI in feature coordinates (legacy non-aligned: no -0.5 offset).
+    x1 = boxes[:, 0] * lvl_scale
+    y1 = boxes[:, 1] * lvl_scale
+    x2 = boxes[:, 2] * lvl_scale
+    y2 = boxes[:, 3] * lvl_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / output_size  # [M]
+    bin_h = roi_h / output_size
+
+    s = sampling_ratio
+    # Sample-point coordinates: [M, P, S] for P = output bins, S = samples/bin.
+    bins = jnp.arange(output_size, dtype=jnp.float32)
+    samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ys = (y1[:, None, None]
+          + bins[None, :, None] * bin_h[:, None, None]
+          + samp[None, None, :] * bin_h[:, None, None])  # [M, out, s]
+    xs = (x1[:, None, None]
+          + bins[None, :, None] * bin_w[:, None, None]
+          + samp[None, None, :] * bin_w[:, None, None])
+
+    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, lvl_h[:, None, None])
+    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, lvl_w[:, None, None])
+
+    # Expand to the full [M, out, s(y), out, s(x)] grid.
+    def ygrid(a):
+        return a[:, :, :, None, None]
+
+    def xgrid(a):
+        return a[:, None, None, :, :]
+
+    # fold the sample-grid mean (/ s^2) and out-of-range zeroing into the
+    # bilinear weights so the gather output reduces with a plain sum
+    ok = ygrid(y_ok.astype(jnp.float32)) * xgrid(x_ok.astype(jnp.float32))
+    ok = ok / float(s * s)
+    w_stride = lvl_w.astype(jnp.int32)[:, None, None, None, None]
+    base = lvl_off[:, None, None, None, None]
+
+    out = None
+    for (yi, wy) in ((y_lo, wy_lo), (y_hi, wy_hi)):
+        for (xi, wx) in ((x_lo, wx_lo), (x_hi, wx_hi)):
+            idx = base + ygrid(yi) * w_stride + xgrid(xi)  # [M,out,s,out,s]
+            vals = jnp.take(table, idx.reshape(-1), axis=0)
+            vals = vals.reshape(idx.shape + (c,))
+            w = (ygrid(wy) * xgrid(wx) * ok).astype(dtype)[..., None]
+            contrib = vals * w
+            out = contrib if out is None else out + contrib
+    return out.sum(axis=(2, 4))  # [M, out, out, C] (mean folded into ok)
+
+
 def multiscale_roi_align(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
@@ -82,82 +171,13 @@ def multiscale_roi_align(
     boxes: [N, 4] in padded-image coordinates. image_size: padded (H, W).
     Returns [N, output_size, output_size, C].
     """
-    num_levels = len(features)
     c = features[0].shape[-1]
-    dtype = features[0].dtype
-
-    # Static per-level geometry.
-    heights = np.array([f.shape[0] for f in features], dtype=np.float32)
-    widths = np.array([f.shape[1] for f in features], dtype=np.float32)
-    # torchvision infers scales as 2^round(log2(feat/img)) — exact powers of
-    # two for stride-aligned buckets.
-    scales = np.array(
-        [2.0 ** np.round(np.log2(f.shape[0] / float(image_size[0]))) for f in features],
-        dtype=np.float32,
-    )
-    offsets = np.concatenate(
-        [[0], np.cumsum([f.shape[0] * f.shape[1] for f in features])]
-    )[:num_levels].astype(np.int32)
-
+    geometry = _level_geometry(features, image_size)
     table = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
-
-    n = boxes.shape[0]
-    lvl = assign_levels(boxes)  # [N]
-    lvl_scale = jnp.asarray(scales)[lvl]  # [N]
-    lvl_h = jnp.asarray(heights)[lvl]
-    lvl_w = jnp.asarray(widths)[lvl]
-    lvl_off = jnp.asarray(offsets)[lvl]
-
-    # RoI in feature coordinates (legacy non-aligned: no -0.5 offset).
-    x1 = boxes[:, 0] * lvl_scale
-    y1 = boxes[:, 1] * lvl_scale
-    x2 = boxes[:, 2] * lvl_scale
-    y2 = boxes[:, 3] * lvl_scale
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / output_size  # [N]
-    bin_h = roi_h / output_size
-
-    s = sampling_ratio
-    # Sample-point coordinates: [N, P, S] for P = output bins, S = samples/bin.
-    bins = jnp.arange(output_size, dtype=jnp.float32)
-    samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    ys = (y1[:, None, None]
-          + bins[None, :, None] * bin_h[:, None, None]
-          + samp[None, None, :] * bin_h[:, None, None])  # [N, out, s]
-    xs = (x1[:, None, None]
-          + bins[None, :, None] * bin_w[:, None, None]
-          + samp[None, None, :] * bin_w[:, None, None])
-
-    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, lvl_h[:, None, None])
-    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, lvl_w[:, None, None])
-
-    # Expand to the full [N, out, s(y), out, s(x)] grid.
-    def ygrid(a):
-        return a[:, :, :, None, None]
-
-    def xgrid(a):
-        return a[:, None, None, :, :]
-
-    ok = ygrid(y_ok.astype(dtype)) * xgrid(x_ok.astype(dtype))
-    w_stride = lvl_w.astype(jnp.int32)[:, None, None, None, None]
-    base = lvl_off[:, None, None, None, None]
-
-    out = None
-    for (yi, wy) in ((y_lo, wy_lo), (y_hi, wy_hi)):
-        for (xi, wx) in ((x_lo, wx_lo), (x_hi, wx_hi)):
-            idx = base + ygrid(yi) * w_stride + xgrid(xi)  # [N,out,s,out,s]
-            vals = jnp.take(table, idx.reshape(-1), axis=0)
-            vals = vals.reshape(idx.shape + (c,))
-            w = (ygrid(wy) * xgrid(wx) * ok).astype(dtype)[..., None]
-            contrib = vals * w
-            out = contrib if out is None else out + contrib
-
-    # Average over the sampling grid; torchvision divides by the full sample
-    # count including out-of-range points, which is what mean() does here.
-    out = out.mean(axis=(2, 4))  # [N, out, s, out, s, C] -> [N, out, out, C]
+    out = _roi_align_flat(table, geometry, boxes, None, output_size,
+                          sampling_ratio)
     if boxes_valid is not None:
-        out = out * boxes_valid.astype(dtype)[:, None, None, None]
+        out = out * boxes_valid.astype(out.dtype)[:, None, None, None]
     return out
 
 
@@ -169,9 +189,26 @@ def multiscale_roi_align_batch(
     sampling_ratio: int = 2,
     boxes_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Batched variant: features [B, Hl, Wl, C] per level, boxes [B, N, 4]."""
-    fn = lambda feats, bxs, val: multiscale_roi_align(
-        feats, bxs, image_size, output_size, sampling_ratio, val)
-    if boxes_valid is None:
-        boxes_valid = jnp.ones(boxes.shape[:2], dtype=bool)
-    return jax.vmap(fn)(list(features), boxes, boxes_valid)
+    """Batched RoIAlign: features [B, Hl, Wl, C] per level, boxes [B, N, 4].
+
+    One flat gather over the whole batch's concatenated feature table
+    (per-image base offsets) instead of a vmapped per-image gather — on TPU
+    a single large gather pipelines ~1.5x better and the downstream heads
+    see one [B*N, ...] matmul instead of B small ones.
+    """
+    b, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    geometry = _level_geometry(features, image_size)
+    # [B, HW, C] -> [B*HW, C]; per-image rows offset by i*HW
+    tables = jnp.concatenate(
+        [f.reshape(b, -1, c) for f in features], axis=1)
+    hw = tables.shape[1]
+    table = tables.reshape(b * hw, c)
+    flat_boxes = boxes.reshape(-1, 4)
+    img_off = jnp.repeat(jnp.arange(b, dtype=jnp.int32) * hw, n)
+    out = _roi_align_flat(table, geometry, flat_boxes, img_off, output_size,
+                          sampling_ratio)
+    out = out.reshape(b, n, output_size, output_size, c)
+    if boxes_valid is not None:
+        out = out * boxes_valid.astype(out.dtype)[:, :, None, None, None]
+    return out

@@ -173,3 +173,30 @@ class TestRoIAlign:
             feats, boxes, (224, 224), 7, boxes_valid=valid))
         assert np.abs(out[2:]).sum() == 0
         assert np.abs(out[:2]).sum() > 0
+
+
+class TestBatchFlatRoIAlign:
+    def test_batch_matches_per_image(self, rng):
+        """The flat batch-wide gather formulation must agree exactly with
+        the per-image path."""
+        import jax
+        from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
+                                                multiscale_roi_align_batch)
+        B, C = 3, 32
+        image_size = (64, 96)
+        # pyramid sizes: strides 4, 8, 16, 32
+        feats = [jnp.asarray(rng.randn(B, max(64 >> (2 + i), 1),
+                                       max(96 >> (2 + i), 1), C)
+                             .astype(np.float32)) for i in range(4)]
+        n = 12
+        xy = rng.rand(B, n, 2) * 60
+        wh = rng.rand(B, n, 2) * 200 + 4  # spans several FPN levels
+        boxes = jnp.asarray(
+            np.concatenate([xy, xy + wh], -1).astype(np.float32))
+        valid = jnp.asarray(rng.rand(B, n) > 0.2)
+        got = multiscale_roi_align_batch(feats, boxes, image_size, 7,
+                                         boxes_valid=valid)
+        want = jax.vmap(lambda f, b, v: multiscale_roi_align(
+            f, b, image_size, 7, boxes_valid=v))(list(feats), boxes, valid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
