@@ -44,6 +44,19 @@ RESNET_SPECS = {
 _EXPANSION = {"basic": 1, "bottleneck": 4}
 
 
+def _use_pallas_stem() -> bool:
+    """Opt-in experimental Pallas stem (ops/pallas_stem.py).
+
+    Disabled by default: on the current v5e backend the fused kernel
+    measures 21.7 ms vs XLA's 11.1 ms for the batch-24 stem because Mosaic
+    lowers the 16-channel space-to-depth slabs at 16/128-lane VPU
+    efficiency (see ROADMAP.md "stem conv" analysis).  Kept wired so newer
+    Mosaic releases can be re-evaluated with HND_TPU_PALLAS_STEM=1.
+    """
+    import os
+    return os.environ.get("HND_TPU_PALLAS_STEM", "0") == "1"
+
+
 def _grouped_conv(params, x, stride, padding, groups):
     if groups == 1:
         return L.conv2d(params, x, stride=stride, padding=padding)
@@ -164,6 +177,14 @@ class ResNetBody:
         return L.relu(out + identity)
 
     def stem(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        if _use_pallas_stem():
+            from hnd_ghnd_tpu.ops import pallas_stem as PS
+            if PS.stem_supported(x):
+                y = PS.stem_conv_bn_relu(
+                    x, params["conv1"]["w"],
+                    params["bn1"]["scale"], params["bn1"]["bias"],
+                    jax.default_backend() != "tpu")  # interpret off-TPU
+                return L.max_pool(y, 3, 2, 1)
         y = L.conv2d(params["conv1"], x, stride=2, padding=3)
         y = L.relu(L.frozen_bn(params["bn1"], y))
         return L.max_pool(y, 3, 2, 1)
