@@ -52,3 +52,73 @@ def test_dryrun_multichip_preinitialized_jax_falls_back():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(8): loss=" in proc.stdout
+
+
+class TestDryrunRetry:
+    """Fast unit coverage of the subprocess retry harness (the slow tests
+    above exercise the real thing)."""
+
+    def test_falls_back_to_hnd_then_raises(self, monkeypatch):
+        import __graft_entry__ as g
+
+        calls = []
+
+        class FakeProc:
+            def __init__(self, rc):
+                self.returncode = rc
+
+        def fake_run(cmd, env=None, cwd=None):
+            calls.append(env["_GRAFT_DRYRUN_MODE"])
+            return FakeProc(-6)
+
+        import subprocess as sp
+        monkeypatch.setattr(sp, "run", fake_run)
+        try:
+            g._dryrun_in_subprocess(8, attempts=2)
+            raised = False
+        except RuntimeError as e:
+            raised = "after 2 attempts" in str(e)
+        assert raised
+        assert calls == ["ghnd", "hnd"]
+
+    def test_succeeds_on_retry(self, monkeypatch):
+        import subprocess as sp
+
+        import __graft_entry__ as g
+
+        rcs = iter([-6, 0])
+        calls = []
+
+        class FakeProc:
+            def __init__(self, rc):
+                self.returncode = rc
+
+        def fake_run(cmd, env=None, cwd=None):
+            calls.append(env["_GRAFT_DRYRUN_MODE"])
+            return FakeProc(next(rcs))
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        g._dryrun_in_subprocess(8, attempts=2)  # must not raise
+        assert calls == ["ghnd", "hnd"]
+
+    def test_collective_timeout_flags_injected(self, monkeypatch):
+        import subprocess as sp
+
+        import __graft_entry__ as g
+
+        seen = {}
+
+        class FakeProc:
+            returncode = 0
+
+        def fake_run(cmd, env=None, cwd=None):
+            seen.update(env)
+            return FakeProc()
+
+        monkeypatch.setattr(sp, "run", fake_run)
+        g._dryrun_in_subprocess(8)
+        flags = seen["XLA_FLAGS"]
+        assert "--xla_force_host_platform_device_count=8" in flags
+        assert "--xla_cpu_collective_call_terminate_timeout_seconds" in flags
+        assert seen["JAX_PLATFORMS"] == "cpu"
+        assert "JAX_COMPILATION_CACHE_DIR" in seen
