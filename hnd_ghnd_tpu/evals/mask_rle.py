@@ -56,6 +56,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.fill_polygon.restype = None
             lib.fill_polygon.argtypes = [f64p, ctypes.c_int64, ctypes.c_int64,
                                          ctypes.c_int64, u8p]
+            if hasattr(lib, "poly_to_rle"):
+                lib.poly_to_rle.restype = ctypes.c_int64
+                lib.poly_to_rle.argtypes = [f64p, ctypes.c_int64,
+                                            ctypes.c_int64, ctypes.c_int64,
+                                            u32p, ctypes.c_int64]
             lib.coco_match.restype = None
             lib.coco_match.argtypes = [f64p, ctypes.c_int64, ctypes.c_int64,
                                        u8p, f64p, ctypes.c_int64, i32p]
@@ -169,6 +174,88 @@ def iou_matrix(det_rles: Sequence[np.ndarray], gt_rles: Sequence[np.ndarray],
             denom = da if iscrowd[j] else da + ga - inter
             out[i, j] = inter / denom if denom > 0 else 0.0
     return out
+
+
+def poly_to_rle(xy: Sequence[float], h: int, w: int) -> np.ndarray:
+    """COCO polygon -> column-major RLE, bit-exact with pycocotools'
+    rleFrPoly (5x-upsampled boundary walk -> column-crossing downsample ->
+    sorted-diff run encoding).  This is the rasterization COCO ground truth
+    was published with; use it wherever numbers must match pycocotools."""
+    pts = np.ascontiguousarray(xy, dtype=np.float64).reshape(-1)
+    k = len(pts) // 2
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "poly_to_rle"):
+        max_counts = int(h * w + 2 + 4 * k * 5)
+        out = np.empty(max_counts, dtype=np.uint32)
+        n = lib.poly_to_rle(_ptr(pts, ctypes.c_double), k, h, w,
+                            _ptr(out, ctypes.c_uint32), max_counts)
+        if n >= 0:
+            return out[:n].copy()
+    return _poly_to_rle_np(pts, k, h, w)
+
+
+def _poly_to_rle_np(pts: np.ndarray, k: int, h: int, w: int) -> np.ndarray:
+    """Numpy implementation of the same algorithm (the spec for the native
+    path; tests assert bit-equality between the two)."""
+    if k < 3:
+        return np.asarray([h * w], dtype=np.uint32)
+    scale = 5.0
+    x = (scale * pts[0::2] + 0.5).astype(np.int64)
+    y = (scale * pts[1::2] + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+    us: List[np.ndarray] = []
+    vs: List[np.ndarray] = []
+    for j in range(k):
+        xs, xe, ys, ye = int(x[j]), int(x[j + 1]), int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe, ys, ye = xe, xs, ye, ys
+        if dx >= dy:
+            s = (ye - ys) / dx if dx else 0.0
+            d = np.arange(dx + 1, dtype=np.int64)
+            t = dx - d if flip else d
+            us.append(t + xs)
+            vs.append((ys + s * t + 0.5).astype(np.int64))
+        else:
+            s = (xe - xs) / dy if dy else 0.0
+            d = np.arange(dy + 1, dtype=np.int64)
+            t = dy - d if flip else d
+            vs.append(t + ys)
+            us.append((xs + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    # column-boundary crossings, downsampled
+    change = u[1:] != u[:-1]
+    uj, up = u[1:][change], u[:-1][change]
+    vj, vp = v[1:][change], v[:-1][change]
+    xd = np.where(uj < up, uj, uj - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    keep = (np.floor(xd) == xd) & (xd >= 0) & (xd <= w - 1)
+    yd = np.minimum(vj, vp).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    yd = np.ceil(np.clip(yd, 0, h))
+    cx = xd[keep].astype(np.int64)
+    cy = yd[keep].astype(np.int64)
+    a = np.sort(cx * h + cy).astype(np.uint32)
+    a = np.append(a, np.uint32(h * w))
+    a = np.diff(a, prepend=np.uint32(0)).astype(np.uint32)
+    # merge zero runs (a zero means two crossings at the same position —
+    # they cancel and their neighbors fuse)
+    b: List[int] = [int(a[0])]
+    j = 1
+    n = len(a)
+    while j < n:
+        if a[j] > 0:
+            b.append(int(a[j]))
+            j += 1
+        else:
+            j += 1
+            if j < n:
+                b[-1] += int(a[j])
+                j += 1
+    return np.asarray(b, dtype=np.uint32)
 
 
 def fill_polygon(xy: Sequence[float], h: int, w: int,

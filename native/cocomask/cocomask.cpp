@@ -196,4 +196,103 @@ void fill_polygon(const double* xy, int64_t n_vertices, int64_t h, int64_t w,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Exact COCO polygon -> RLE (the pycocotools rleFrPoly boundary semantics):
+// vertices are scaled 5x and rounded, the boundary is walked densely along
+// the major axis of each edge, column-boundary crossings are downsampled
+// back to pixel resolution, and the crossing set is turned into column-major
+// run lengths via sort + diff + zero-run merging.  This reproduces COCO's
+// published ground-truth rasterization bit-for-bit (the scanline fill above
+// differs by sub-pixel boundary rules).  Returns the number of counts
+// written, or -1 if the output buffer is too small.
+// ---------------------------------------------------------------------------
+int64_t poly_to_rle(const double* xy, int64_t k, int64_t h, int64_t w,
+                    uint32_t* counts_out, int64_t max_counts) {
+    const double scale = 5.0;
+    if (k < 3) {
+        if (max_counts < 1) return -1;
+        counts_out[0] = (uint32_t)(h * w);
+        return 1;
+    }
+    std::vector<long long> x(k + 1), y(k + 1);
+    for (int64_t j = 0; j < k; ++j) {
+        x[j] = (long long)(scale * xy[2 * j] + 0.5);
+        y[j] = (long long)(scale * xy[2 * j + 1] + 0.5);
+    }
+    x[k] = x[0];
+    y[k] = y[0];
+
+    // dense boundary walk
+    std::vector<long long> u, v;
+    for (int64_t j = 0; j < k; ++j) {
+        long long xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
+        long long dx = std::llabs(xe - xs), dy = std::llabs(ys - ye);
+        bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+        if (flip) {
+            std::swap(xs, xe);
+            std::swap(ys, ye);
+        }
+        if (dx >= dy) {
+            double s = dx ? (double)(ye - ys) / (double)dx : 0.0;
+            for (long long d = 0; d <= dx; ++d) {
+                long long t = flip ? dx - d : d;
+                u.push_back(t + xs);
+                v.push_back((long long)(ys + s * t + 0.5));
+            }
+        } else {
+            double s = dy ? (double)(xe - xs) / (double)dy : 0.0;
+            for (long long d = 0; d <= dy; ++d) {
+                long long t = flip ? dy - d : d;
+                v.push_back(t + ys);
+                u.push_back((long long)(xs + s * t + 0.5));
+            }
+        }
+    }
+
+    // column-boundary crossings, downsampled to pixel resolution
+    std::vector<long long> cx, cy;
+    for (size_t j = 1; j < u.size(); ++j) {
+        if (u[j] == u[j - 1]) continue;
+        double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+        xd = (xd + 0.5) / scale - 0.5;
+        if (std::floor(xd) != xd || xd < 0 || xd > (double)(w - 1)) continue;
+        double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+        yd = (yd + 0.5) / scale - 0.5;
+        if (yd < 0) yd = 0;
+        else if (yd > (double)h) yd = (double)h;
+        yd = std::ceil(yd);
+        cx.push_back((long long)xd);
+        cy.push_back((long long)yd);
+    }
+
+    // crossings -> runs: sort positions, diff, merge zero-runs
+    std::vector<uint32_t> a;
+    a.reserve(cx.size() + 1);
+    for (size_t j = 0; j < cx.size(); ++j)
+        a.push_back((uint32_t)(cx[j] * h + cy[j]));
+    a.push_back((uint32_t)(h * w));
+    std::sort(a.begin(), a.end());
+    uint32_t p = 0;
+    for (size_t j = 0; j < a.size(); ++j) {
+        uint32_t t = a[j];
+        a[j] -= p;
+        p = t;
+    }
+    std::vector<uint32_t> b;
+    b.reserve(a.size());
+    size_t j = 0;
+    b.push_back(a[j++]);
+    while (j < a.size()) {
+        if (a[j] > 0) {
+            b.push_back(a[j++]);
+        } else {
+            ++j;
+            if (j < a.size()) b.back() += a[j++];
+        }
+    }
+    if ((int64_t)b.size() > max_counts) return -1;
+    std::memcpy(counts_out, b.data(), b.size() * sizeof(uint32_t));
+    return (int64_t)b.size();
+}
+
 }  // extern "C"
