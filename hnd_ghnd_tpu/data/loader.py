@@ -18,11 +18,13 @@ need them).
 from __future__ import annotations
 
 import random
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from hnd_ghnd_tpu.data import native_prep
 from hnd_ghnd_tpu.data import transforms as T
 from hnd_ghnd_tpu.data.coco import CocoDataset
 
@@ -86,6 +88,44 @@ def _pad_targets(targets: List[Dict], max_gt: int = MAX_GT,
     return out
 
 
+class _RawItem:
+    """Decoded-but-unresized image + its prep geometry (fused native path).
+
+    Exposes ``shape`` as the RESIZED dims so bucket picking and size
+    bookkeeping read identically to the eager-resize path.
+    """
+
+    __slots__ = ("img", "nh", "nw", "flip")
+
+    def __init__(self, img: np.ndarray, nh: int, nw: int, flip: bool):
+        self.img = img
+        self.nh = nh
+        self.nw = nw
+        self.flip = flip
+
+    @property
+    def shape(self):
+        return (self.nh, self.nw, 3)
+
+
+def _bounded_map(pool: ThreadPoolExecutor, fn, items, window: int):
+    """pool.map with a bounded in-flight window (submit-as-you-consume)."""
+    it = iter(items)
+    futs = deque()
+    for _ in range(max(window, 1)):
+        try:
+            futs.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            break
+    while futs:
+        result = futs.popleft().result()
+        try:
+            futs.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            pass
+        yield result
+
+
 class DetectionLoader:
     """Iterates (device_batch, target_batch, host_targets) tuples."""
 
@@ -109,6 +149,7 @@ class DetectionLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.max_gt = max_gt
+        self._use_native_prep = native_prep.available()
 
     def set_epoch(self, epoch: int) -> None:
         """Distributed-shuffle seed bump (DistributedSampler.set_epoch
@@ -128,10 +169,22 @@ class DetectionLoader:
                             + index)
         img, target = self.dataset[index]
         oh, ow = img.shape[:2]
-        if self.training and rng.random() < self.hflip_prob:
-            img, target = T.hflip(img, target)
+        flip = self.training and rng.random() < self.hflip_prob
         min_size = (rng.choice(self.min_sizes) if self.training
                     else self.min_sizes[-1])
+        if self._use_native_prep:
+            # fused path: pixels stay raw uint8; the native kernel applies
+            # flip+resize+normalize+pad in one pass at batch-emit time.
+            # Target geometry is transformed here exactly as T.hflip/T.resize
+            # would.
+            if flip:
+                target = T.hflip_targets(target, ow)
+            nh, nw, _ = T.resize_geometry(oh, ow, min_size, self.max_size)
+            target = T.resize_targets(target, oh, ow, nh, nw)
+            target["original_size"] = (oh, ow)
+            return _RawItem(img, nh, nw, flip), target
+        if flip:
+            img, target = T.hflip(img, target)
         img, target, _ = T.resize(img, target, min_size, self.max_size)
         target["original_size"] = (oh, ow)
         return img, target
@@ -148,7 +201,13 @@ class DetectionLoader:
         order = self._order()
         pool = ThreadPoolExecutor(max_workers=max(self.num_workers, 1))
         try:
-            prepared = pool.map(self._prepare, order)
+            # bounded prefetch window: ThreadPoolExecutor.map would submit
+            # the WHOLE epoch eagerly, decoding arbitrarily far ahead of
+            # consumption (tens of GB on full COCO); keep a fixed number of
+            # in-flight items instead
+            prepared = _bounded_map(pool, self._prepare, order,
+                                    window=max(4 * self.num_workers,
+                                               2 * self.batch_size))
             # group into same-bucket batches (aspect-ratio grouping)
             pending: Dict[Tuple[int, int], List] = {}
             for img, target in prepared:
@@ -171,8 +230,15 @@ class DetectionLoader:
             pool.shutdown(wait=False, cancel_futures=True)
 
     def _emit(self, bucket, items, n_real: Optional[int] = None):
-        imgs = np.stack([T.pad_to(im, bucket) for im, _ in items], axis=0)
-        imgs = imgs.astype(np.float32) / 255.0
+        if self._use_native_prep:
+            bh, bw = bucket
+            imgs = np.empty((len(items), bh, bw, 3), np.float32)
+            for i, (raw, _) in enumerate(items):
+                native_prep.prep_into(raw.img, raw.nh, raw.nw, raw.flip,
+                                      imgs[i])
+        else:
+            imgs = np.stack([T.pad_to(im, bucket) for im, _ in items], axis=0)
+            imgs = imgs.astype(np.float32) / 255.0
         sizes = np.asarray([[im.shape[0], im.shape[1]] for im, _ in items],
                            np.int32)
         orig = np.asarray([t["original_size"] for _, t in items], np.int32)

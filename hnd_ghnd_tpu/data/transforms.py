@@ -27,9 +27,9 @@ from hnd_ghnd_tpu.data.coco import COCO_PERSON_KEYPOINT_FLIP_INDS
 DEFAULT_BUCKETS = ((832, 1344), (1344, 832))
 
 
-def hflip(img: np.ndarray, target: Dict) -> Tuple[np.ndarray, Dict]:
-    h, w = img.shape[:2]
-    img = img[:, ::-1]
+def hflip_targets(target: Dict, w: int) -> Dict:
+    """Mirror boxes/masks/keypoints for an image of width ``w`` (pixel flip
+    handled separately — fused into the native prep kernel when enabled)."""
     target = dict(target)
     if len(target.get("boxes", ())):
         b = target["boxes"].copy()
@@ -42,7 +42,44 @@ def hflip(img: np.ndarray, target: Dict) -> Tuple[np.ndarray, Dict]:
         kp[..., 0] = w - kp[..., 0]
         kp[target["keypoints"][:, COCO_PERSON_KEYPOINT_FLIP_INDS][..., 2] == 0] = 0
         target["keypoints"] = kp
-    return np.ascontiguousarray(img), target
+    return target
+
+
+def hflip(img: np.ndarray, target: Dict) -> Tuple[np.ndarray, Dict]:
+    target = hflip_targets(target, img.shape[1])
+    return np.ascontiguousarray(img[:, ::-1]), target
+
+
+def resize_geometry(h: int, w: int, min_size: int,
+                    max_size: int = 1333) -> Tuple[int, int, float]:
+    """Output dims for the min-side resize (floor-rounded, torch
+    interpolate(scale_factor) semantics)."""
+    scale = min_size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    return int(h * scale), int(w * scale), scale
+
+
+def resize_targets(target: Optional[Dict], h: int, w: int, nh: int,
+                   nw: int) -> Optional[Dict]:
+    if target is None:
+        return None
+    target = dict(target)
+    ry, rx = nh / h, nw / w
+    if len(target.get("boxes", ())):
+        b = target["boxes"] * np.asarray([rx, ry, rx, ry], np.float32)
+        target["boxes"] = b.astype(np.float32)
+    if "masks" in target and len(target["masks"]):
+        ms = np.stack([
+            cv2.resize(m, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            for m in target["masks"]], axis=0)
+        target["masks"] = ms.astype(np.uint8)
+    if "keypoints" in target and len(target["keypoints"]):
+        kp = target["keypoints"].copy()
+        kp[..., 0] *= rx
+        kp[..., 1] *= ry
+        target["keypoints"] = kp
+    return target
 
 
 def resize(img: np.ndarray, target: Optional[Dict], min_size: int,
@@ -50,28 +87,9 @@ def resize(img: np.ndarray, target: Optional[Dict], min_size: int,
     """Resize so min side == min_size (max side capped).  Floor-rounded output
     dims mirror torch interpolate(scale_factor) semantics."""
     h, w = img.shape[:2]
-    scale = min_size / min(h, w)
-    if max(h, w) * scale > max_size:
-        scale = max_size / max(h, w)
-    nh, nw = int(h * scale), int(w * scale)
+    nh, nw, scale = resize_geometry(h, w, min_size, max_size)
     out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    if target is not None:
-        target = dict(target)
-        ry, rx = nh / h, nw / w
-        if len(target.get("boxes", ())):
-            b = target["boxes"] * np.asarray([rx, ry, rx, ry], np.float32)
-            target["boxes"] = b.astype(np.float32)
-        if "masks" in target and len(target["masks"]):
-            ms = np.stack([
-                cv2.resize(m, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                for m in target["masks"]], axis=0)
-            target["masks"] = ms.astype(np.uint8)
-        if "keypoints" in target and len(target["keypoints"]):
-            kp = target["keypoints"].copy()
-            kp[..., 0] *= rx
-            kp[..., 1] *= ry
-            target["keypoints"] = kp
-    return out, target, scale
+    return out, resize_targets(target, h, w, nh, nw), scale
 
 
 def pick_bucket(h: int, w: int,
