@@ -25,6 +25,7 @@ from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
+from hnd_ghnd_tpu.utils.tensorboard import SummaryWriter
 
 
 def get_argparser() -> argparse.ArgumentParser:
@@ -32,6 +33,8 @@ def get_argparser() -> argparse.ArgumentParser:
     common.add_common_args(parser)
     parser.add_argument("-train", action="store_true")
     parser.add_argument("-test_only", action="store_true")
+    parser.add_argument("--tb_dir", default=None,
+                        help="write TensorBoard scalar curves")
     return parser
 
 
@@ -71,6 +74,9 @@ def train(model, params, state, config, args, mesh):
     params, state, opt_state = (replicate(x, mesh)
                                 for x in (params, state, opt_state))
     rng = jax.random.PRNGKey(args.seed)
+    tb = SummaryWriter(getattr(args, "tb_dir", None)
+                       if multihost.is_main_process() else None)
+    global_step = 0
     for epoch in range(int(train_cfg["num_epochs"])):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
@@ -91,16 +97,26 @@ def train(model, params, state, config, args, mesh):
                 sys.exit(1)
             logger.update(loss=loss_val,
                           **{k: float(v) for k, v in loss_dict.items()})
+            global_step += 1
+            if global_step % int(train_cfg.get("log_freq", 1000)) == 0:
+                tb.add_scalar("train/loss", loss_val, global_step)
+                for k, v in loss_dict.items():
+                    tb.add_scalar(f"train/{k}", float(v), global_step)
 
         coco_evaluator = common.evaluate(model, params, state, val_loader,
                                          mesh=common.eval_mesh_for(val_loader, mesh))
         val_map = float(coco_evaluator.stats["bbox"][0])
+        tb.add_scalar("val/map", val_map, epoch)
+        tb.flush()
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
             multihost.save_on_master(
                 ckpt_util.save_ckpt, ckpt_path, params=params, state=state,
                 opt_state=opt_state, best_value=best_val_map,
-                config=config, args=vars(args))
+                config=config, args=vars(args),
+                backend=(config.get("train", {}) or {}).get(
+                    "ckpt_backend", "pickle"))
+    tb.close()
     multihost.barrier("coco_train_end")
     return params, state
 

@@ -27,6 +27,7 @@ from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
+from hnd_ghnd_tpu.utils.tensorboard import SummaryWriter
 
 
 def get_argparser() -> argparse.ArgumentParser:
@@ -42,6 +43,10 @@ def get_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", default=None,
                         help="capture an XLA profiler trace of the first "
                              "training steps into this directory")
+    parser.add_argument("--tb_dir", default=None,
+                        help="write TensorBoard scalar curves (losses per "
+                             "log interval, val mAP per epoch) into this "
+                             "directory")
     return parser
 
 
@@ -88,6 +93,9 @@ def distill(teacher_pack, student_pack, config, args, mesh):
     rng = jax.random.PRNGKey(args.seed)
     profile_dir = getattr(args, "profile_dir", None)
     profile_steps = 0
+    tb = SummaryWriter(getattr(args, "tb_dir", None)
+                       if multihost.is_main_process() else None)
+    global_step = 0
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
@@ -102,6 +110,11 @@ def distill(teacher_pack, student_pack, config, args, mesh):
                           mesh), key)
             logger.update(loss=float(loss),
                           **{k: float(v) for k, v in loss_dict.items()})
+            global_step += 1
+            if global_step % log_freq == 0:
+                tb.add_scalar("train/loss", float(loss), global_step)
+                for k, v in loss_dict.items():
+                    tb.add_scalar(f"train/{k}", float(v), global_step)
             if profile_dir:
                 profile_steps += 1
                 if profile_steps == 6:
@@ -114,6 +127,8 @@ def distill(teacher_pack, student_pack, config, args, mesh):
             use_bottleneck_transformer=args.transform_bottleneck,
             mesh=common.eval_mesh_for(val_loader, mesh))
         val_map = float(coco_evaluator.stats["bbox"][0])
+        tb.add_scalar("val/map", val_map, epoch)
+        tb.flush()
         if val_map > best_val_map and ckpt_path:
             best_val_map = val_map
             # ckpt writes are master-only (reference save_on_master,
@@ -123,8 +138,11 @@ def distill(teacher_pack, student_pack, config, args, mesh):
             multihost.save_on_master(
                 ckpt_util.save_ckpt, ckpt_path, params=s_params,
                 state=s_state, opt_state=opt_state,
-                best_value=best_val_map, config=config, args=vars(args))
+                best_value=best_val_map, config=config, args=vars(args),
+                backend=(config.get("train", {}) or {}).get(
+                    "ckpt_backend", "pickle"))
             print(f"saved best ckpt (val mAP {val_map:.4f})")
+    tb.close()
     multihost.barrier("mimic_distill_end")
     return s_params, s_state
 

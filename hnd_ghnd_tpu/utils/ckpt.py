@@ -21,11 +21,23 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+_TREE_KEYS = ("params", "state", "opt_state")
+_AUX_FILE = "aux.pkl"
+
+
 def save_ckpt(path: str, *, params, state=None, opt_state=None,
               lr_step: Optional[int] = None, best_value: float = 0.0,
-              config: Optional[dict] = None, args: Optional[dict] = None) -> None:
-    """Write a checkpoint; creates parent dirs (reference make_parent_dirs)."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+              config: Optional[dict] = None, args: Optional[dict] = None,
+              backend: str = "pickle") -> None:
+    """Write a checkpoint; creates parent dirs (reference make_parent_dirs).
+
+    backend='pickle' (default): single-file numpy-pickled payload, written
+    atomically — matches the reference's torch.save single-file semantics.
+    backend='orbax': directory checkpoint via orbax (sharded, parallel
+    array I/O) for very large runs where a single pickled file is
+    host-memory bound; aux metadata rides in a sidecar inside the dir.
+    A config can select it with ``train.ckpt_backend: orbax``.
+    """
     payload = {
         "params": _to_numpy(params),
         "state": _to_numpy(state) if state is not None else None,
@@ -36,13 +48,46 @@ def save_ckpt(path: str, *, params, state=None, opt_state=None,
         "args": args,
         "format_version": 1,
     }
+    if backend == "orbax":
+        _save_orbax(path, payload)
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)
 
 
+def _save_orbax(path: str, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    trees = {k: payload[k] for k in _TREE_KEYS if payload[k] is not None}
+    if os.path.exists(path):
+        import shutil
+        shutil.rmtree(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, trees)
+    aux = {k: v for k, v in payload.items() if k not in _TREE_KEYS}
+    aux["tree_keys"] = sorted(trees)
+    with open(os.path.join(path, _AUX_FILE), "wb") as f:
+        pickle.dump(aux, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 def load_ckpt(path: str) -> Dict[str, Any]:
+    """Load either checkpoint format (auto-detected: dir => orbax)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        trees = ckptr.restore(os.path.abspath(path))
+        with open(os.path.join(path, _AUX_FILE), "rb") as f:
+            payload = pickle.load(f)
+        payload.pop("tree_keys", None)
+        for k in _TREE_KEYS:
+            payload.setdefault(k, None)
+        payload.update(trees)
+        return payload
     with open(path, "rb") as f:
         return pickle.load(f)
 

@@ -62,3 +62,42 @@ class TestCkpt:
     def test_check_if_exists_none(self):
         assert not ckpt_util.check_if_exists(None)
         assert not ckpt_util.check_if_exists("/nonexistent/x.pt")
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        import numpy as np
+        from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+        params = {"layer": {"w": jnp.arange(12.0).reshape(3, 4),
+                            "b": jnp.ones((4,))}}
+        opt_state = {"mu": {"layer": {"w": jnp.zeros((3, 4)),
+                                      "b": jnp.zeros((4,))}}}
+        path = str(tmp_path / "ckpt_orbax")
+        ckpt_util.save_ckpt(path, params=params, opt_state=opt_state,
+                            best_value=0.7, config={"a": 1},
+                            args={"lr": 0.1}, backend="orbax")
+        assert ckpt_util.check_if_exists(path)
+        payload = ckpt_util.load_ckpt(path)
+        np.testing.assert_array_equal(
+            np.asarray(payload["params"]["layer"]["w"]),
+            np.arange(12.0).reshape(3, 4))
+        assert payload["state"] is None
+        assert payload["best_value"] == 0.7
+        assert payload["config"] == {"a": 1}
+        assert payload["args"] == {"lr": 0.1}
+        np.testing.assert_array_equal(
+            np.asarray(payload["opt_state"]["mu"]["layer"]["b"]),
+            np.zeros((4,)))
+
+    def test_orbax_overwrite(self, tmp_path):
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+        path = str(tmp_path / "ck")
+        for v in (1.0, 2.0):
+            ckpt_util.save_ckpt(path, params={"w": jnp.full((2,), v)},
+                                best_value=v, backend="orbax")
+        payload = ckpt_util.load_ckpt(path)
+        assert payload["best_value"] == 2.0
