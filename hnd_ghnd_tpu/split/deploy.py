@@ -226,3 +226,94 @@ def split_rcnn_model(model: RCNN, params: Params, state: Params,
     (head_call, tail_call, split_param_trees)."""
     split = SplitRCNN(model, quantization)
     return split.build(params, state)
+
+
+_MAGIC_JPEG = b"HGJ1"  # RGB-over-wire format v1
+
+
+class JpegInputSplit:
+    """RGB-over-wire deployment baseline: the edge JPEG-encodes the resized
+    frame and the server runs the FULL detector on the decoded pixels.
+
+    This is the input-compression baseline the reference's cost analyzer
+    prices bottleneck wires against (analyze_data_size's jpeg_quality
+    re-encoded sizes, src/cost_analyzer.py:89-137; dataset-level analog
+    coco_util jpeg_quality), made actually runnable.  Useful to A/B wire
+    size and mAP against the bottleneck split on the same checkpoints.
+    """
+
+    def __init__(self, model: RCNN, quality: int = 95):
+        self.model = model
+        self.quality = int(quality)
+
+    # ----------------------------------------------------------------- edge
+    def run_edge(self, images: np.ndarray, image_sizes,
+                 original_sizes) -> bytes:
+        """images: [B, H, W, 3] float in [0, 1] (padded bucket).  Each image
+        is cropped to its valid size and JPEG-encoded — padding bytes never
+        cross the wire."""
+        import io
+
+        from PIL import Image
+
+        image_sizes = np.asarray(image_sizes, np.int32)
+        blobs = []
+        for i in range(images.shape[0]):
+            h, w = int(image_sizes[i, 0]), int(image_sizes[i, 1])
+            u8 = np.clip(np.asarray(images[i, :h, :w]) * 255.0 + 0.5,
+                         0, 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(u8).save(buf, format="JPEG",
+                                     quality=self.quality)
+            blobs.append(buf.getvalue())
+        meta = {
+            "quality": self.quality,
+            "lengths": [len(b) for b in blobs],
+            "image_sizes": image_sizes.tolist(),
+            "original_sizes": np.asarray(original_sizes).tolist(),
+        }
+        mb = json.dumps(meta).encode()
+        return _MAGIC_JPEG + struct.pack("<I", len(mb)) + mb + b"".join(blobs)
+
+    # --------------------------------------------------------------- server
+    def build_server(self, params: Params, state: Params):
+        model = self.model
+        cache: Dict[Tuple[int, int, int], Any] = {}
+
+        def server_call(images, image_sizes, original_sizes):
+            key = tuple(images.shape[:3])
+            if key not in cache:
+                cache[key] = jax.jit(
+                    lambda im, sz, osz: model.forward(
+                        params, state, {"images": im, "image_sizes": sz,
+                                        "original_sizes": osz},
+                        training=False,
+                        use_bottleneck_transformer=False)[0])
+            return cache[key](images, image_sizes, original_sizes)
+        return server_call
+
+    def run_server(self, server_call, wire: bytes,
+                   bucket_hw: Tuple[int, int]):
+        """Decode the JPEG payload, pad back into the bucket, run the full
+        detector; boxes are returned in original-image coordinates."""
+        from PIL import Image
+
+        assert wire[:4] == _MAGIC_JPEG, "bad jpeg-wire magic"
+        (mlen,) = struct.unpack("<I", wire[4:8])
+        meta = json.loads(wire[8:8 + mlen].decode())
+        image_sizes = np.asarray(meta["image_sizes"], np.int32)
+        original_sizes = np.asarray(meta["original_sizes"], np.int32)
+        bh, bw = bucket_hw
+        body = wire[8 + mlen:]
+        images = np.zeros((len(meta["lengths"]), bh, bw, 3), np.float32)
+        off = 0
+        for i, n in enumerate(meta["lengths"]):
+            import io as _io
+            u8 = np.asarray(Image.open(_io.BytesIO(body[off:off + n]))
+                            .convert("RGB"), np.uint8)
+            off += n
+            h, w = int(image_sizes[i, 0]), int(image_sizes[i, 1])
+            images[i, :h, :w] = u8.astype(np.float32) / 255.0
+        dets = server_call(jnp.asarray(images), jnp.asarray(image_sizes),
+                           jnp.asarray(original_sizes))
+        return {k: np.asarray(v) for k, v in dets.items()}

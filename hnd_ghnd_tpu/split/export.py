@@ -29,6 +29,7 @@ from jax import export as jexport
 from hnd_ghnd_tpu.split.deploy import SplitRCNN, _split_head_params, _split_tail_params
 
 FORMAT = "hnd-ghnd-split-v1"
+FORMAT_SET = "hnd-ghnd-splitset-v2"
 
 
 def export_split(model, params, state, bucket_hw: Tuple[int, int],
@@ -95,7 +96,54 @@ class ExportedSplit:
                                jnp.asarray(image_sizes, jnp.int32))
 
 
-def load_exported(blob: bytes) -> ExportedSplit:
+def export_split_set(model, params, state,
+                     buckets, batch: int = 1,
+                     quant_bits: Optional[int] = 8) -> bytes:
+    """Serialize head+tail programs for a SET of buckets in one artifact.
+
+    A real serving deployment compiles one program per static bucket
+    (data/transforms.DEFAULT_BUCKETS: landscape + portrait); this bundles
+    them so the server dispatches purely on the incoming wire shape.
+    """
+    entries = {}
+    for bucket in buckets:
+        blob = export_split(model, params, state, tuple(bucket), batch,
+                            quant_bits)
+        entries[tuple(bucket)] = blob
+    return pickle.dumps({"format": FORMAT_SET, "batch": batch,
+                         "quant_bits": quant_bits,
+                         "buckets": {k: v for k, v in entries.items()}})
+
+
+class ExportedSplitSet:
+    """Bucket-dispatching wrapper over a set of exported split pairs."""
+
+    def __init__(self, blob: bytes):
+        payload = pickle.loads(blob)
+        assert payload["format"] == FORMAT_SET, "unknown artifact format"
+        self.batch = payload["batch"]
+        self.quant_bits = payload["quant_bits"]
+        self._splits: Dict[Tuple[int, int], ExportedSplit] = {
+            k: ExportedSplit(v) for k, v in payload["buckets"].items()}
+        self.buckets = sorted(self._splits)
+
+    def for_bucket(self, bucket_hw) -> ExportedSplit:
+        return self._splits[tuple(bucket_hw)]
+
+    def head(self, images):
+        """Dispatch on the padded image shape."""
+        return self.for_bucket(images.shape[1:3]).head(images)
+
+    def tail(self, bucket_hw, q, scale, zero_point, image_sizes):
+        return self.for_bucket(bucket_hw).tail(q, scale, zero_point,
+                                               image_sizes)
+
+
+def load_exported(blob: bytes):
+    """Load either a single-bucket (v1) or bucket-set (v2) artifact."""
+    fmt = pickle.loads(blob).get("format")
+    if fmt == FORMAT_SET:
+        return ExportedSplitSet(blob)
     return ExportedSplit(blob)
 
 
@@ -114,7 +162,9 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--json", default=None)
     p.add_argument("--out", required=True)
-    p.add_argument("--bucket", default="832,1344")
+    p.add_argument("--bucket", default="832,1344",
+                   help="H,W — or a set 'H1,W1;H2,W2' to bundle one "
+                        "program per bucket")
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--bits", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
@@ -128,13 +178,19 @@ def main():
         params = payload["params"]
         state = payload["state"] or state
         print(f"loaded trained weights from {model_cfg['ckpt']}")
-    bucket = tuple(int(v) for v in args.bucket.split(","))
-    blob = export_split(model, params, state, bucket, args.batch,
-                        args.bits if args.bits > 0 else None)
+    buckets = [tuple(int(v) for v in part.split(","))
+               for part in args.bucket.split(";") if part]
+    bits = args.bits if args.bits > 0 else None
+    if len(buckets) == 1:
+        blob = export_split(model, params, state, buckets[0], args.batch,
+                            bits)
+    else:
+        blob = export_split_set(model, params, state, buckets, args.batch,
+                                bits)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"wrote {len(blob) / 1e6:.1f} MB split artifact to {args.out} "
-          f"(bucket {bucket}, batch {args.batch}, {args.bits}-bit wire)")
+          f"(buckets {buckets}, batch {args.batch}, {args.bits}-bit wire)")
 
 
 if __name__ == "__main__":

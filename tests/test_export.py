@@ -56,3 +56,29 @@ class TestExportedSplit:
                                       np.asarray(want["labels"]))
 
 pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"
+
+
+@pytest.mark.slow
+class TestExportedSplitSet:
+    def test_bucket_set_roundtrip_and_dispatch(self, student):
+        import numpy as np
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.split.export import (export_split_set,
+                                               load_exported,
+                                               ExportedSplitSet)
+
+        model, params, state = student
+        buckets = [(64, 96), (96, 64)]
+        blob = export_split_set(model, params, state, buckets, batch=1,
+                                quant_bits=8)
+        loaded = load_exported(blob)
+        assert isinstance(loaded, ExportedSplitSet)
+        assert loaded.buckets == sorted(buckets)
+
+        for h, w in buckets:
+            images = jnp.asarray(
+                np.random.RandomState(0).rand(1, h, w, 3), jnp.float32)
+            q, scale, zp, ext = loaded.head(images)
+            dets = loaded.tail((h, w), q, scale, zp,
+                               np.asarray([[h - 8, w - 8]], np.int32))
+            assert np.asarray(dets["boxes"]).shape[0] == 1

@@ -133,3 +133,52 @@ class TestExtAbort:
         assert unpack_wire(wire).ext_logits is not None
 
 pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"
+
+
+@pytest.mark.slow
+class TestJpegInputSplit:
+    def test_rgb_over_wire_matches_direct_forward(self, student):
+        """Server detections from the JPEG wire must equal a direct forward
+        on the decoded pixels (bit-identical inputs => identical outputs)."""
+        import io
+        import numpy as np
+        from PIL import Image
+        from hnd_ghnd_tpu.split.deploy import JpegInputSplit, _MAGIC_JPEG
+
+        model, params, state = student
+        b, h, w = 1, 64, 96
+        rng = np.random.RandomState(0)
+        images = rng.rand(b, h, w, 3).astype(np.float32)
+        image_sizes = np.asarray([[56, 88]], np.int32)
+        original_sizes = np.asarray([[112, 176]], np.int32)
+
+        split = JpegInputSplit(model, quality=95)
+        wire = split.run_edge(images, image_sizes, original_sizes)
+        assert wire[:4] == _MAGIC_JPEG
+        # wire must be smaller than raw valid pixels x4 bytes
+        assert len(wire) < 56 * 88 * 3 * 4
+
+        server_call = split.build_server(params, state)
+        dets = split.run_server(server_call, wire, (h, w))
+
+        # rebuild the server's exact input on the host and run directly
+        import json as _json
+        import struct as _struct
+        (mlen,) = _struct.unpack("<I", wire[4:8])
+        meta = _json.loads(wire[8:8 + mlen].decode())
+        u8 = np.asarray(Image.open(io.BytesIO(wire[8 + mlen:]))
+                        .convert("RGB"), np.uint8)
+        direct_imgs = np.zeros((b, h, w, 3), np.float32)
+        direct_imgs[0, :56, :88] = u8.astype(np.float32) / 255.0
+        import jax.numpy as jnp
+        direct, _, _ = model.forward(
+            params, state,
+            {"images": jnp.asarray(direct_imgs),
+             "image_sizes": jnp.asarray(image_sizes),
+             "original_sizes": jnp.asarray(original_sizes)},
+            training=False)
+        np.testing.assert_allclose(np.asarray(dets["boxes"]),
+                                   np.asarray(direct["boxes"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(dets["valid"]),
+                                      np.asarray(direct["valid"]))
