@@ -156,12 +156,22 @@ class CocoDataset:
     def load_image(self, image_id: int) -> np.ndarray:
         info = self.images[image_id]
         path = os.path.join(self.img_dir, info["file_name"])
+        if self.jpeg_quality is None:
+            # native libjpeg decode when available (GIL-released; PIL
+            # fallback covers PNGs/exotic colorspaces)
+            from hnd_ghnd_tpu.data import native_prep
+            with open(path, "rb") as f:
+                data = f.read()
+            arr = native_prep.decode_jpeg(data)
+            if arr is not None:
+                return arr
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
         img = Image.open(path).convert("RGB")
-        if self.jpeg_quality is not None:
-            buf = io.BytesIO()
-            img.save(buf, format="jpeg", quality=self.jpeg_quality)
-            buf.seek(0)
-            img = Image.open(buf).convert("RGB")
+        buf = io.BytesIO()
+        img.save(buf, format="jpeg", quality=self.jpeg_quality)
+        buf.seek(0)
+        img = Image.open(buf).convert("RGB")
         return np.asarray(img, dtype=np.uint8)
 
     def __getitem__(self, index: int):

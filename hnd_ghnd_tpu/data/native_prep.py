@@ -37,15 +37,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = _find_lib()
         if path:
             lib = ctypes.CDLL(path)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i64p = ctypes.POINTER(ctypes.c_int64)
             lib.prep_image.restype = None
             lib.prep_image.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8),
+                u8p,
                 ctypes.c_int64, ctypes.c_int64,   # sh, sw
                 ctypes.c_int64, ctypes.c_int64,   # nh, nw
                 ctypes.c_int32,                   # flip
                 ctypes.c_int64, ctypes.c_int64,   # bh, bw
                 ctypes.POINTER(ctypes.c_float),
             ]
+            if hasattr(lib, "jpeg_decode"):
+                lib.jpeg_info.restype = ctypes.c_int64
+                lib.jpeg_info.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
+                lib.jpeg_decode.restype = ctypes.c_int64
+                lib.jpeg_decode.argtypes = [u8p, ctypes.c_int64, u8p,
+                                            ctypes.c_int64, ctypes.c_int64]
             _LIB = lib
     return _LIB
 
@@ -54,6 +62,26 @@ def available() -> bool:
     if os.environ.get("HND_TPU_NATIVE_PREP", "1") != "1":
         return False
     return get_lib() is not None
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Native libjpeg decode to RGB uint8 [h, w, 3]; None on any failure
+    (caller falls back to PIL — e.g. PNGs, exotic colorspaces)."""
+    lib = get_lib()
+    if (lib is None or not hasattr(lib, "jpeg_decode")
+            or os.environ.get("HND_TPU_NATIVE_PREP", "1") != "1"):
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if lib.jpeg_info(src, len(buf), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpeg_decode(src, len(buf),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         h.value, w.value)
+    return out if rc == 0 else None
 
 
 def prep_into(src_u8: np.ndarray, nh: int, nw: int, flip: bool,

@@ -80,3 +80,82 @@ void prep_image(const uint8_t* src, int64_t sh, int64_t sw,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native JPEG decode (libjpeg): completes the decode->prep pipeline in C so
+// loader worker threads never touch Python between file bytes and the
+// float32 batch slot (the torch-DataLoader-worker analog).
+// ---------------------------------------------------------------------------
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrMgr {
+    jpeg_error_mgr pub;
+    std::jmp_buf jump;
+};
+
+void on_error(j_common_ptr cinfo) {
+    auto* mgr = reinterpret_cast<ErrMgr*>(cinfo->err);
+    std::longjmp(mgr->jump, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the header only.  Returns 0 on success and fills (h, w).
+int64_t jpeg_info(const uint8_t* buf, int64_t len, int64_t* h, int64_t* w) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode to RGB uint8 [h, w, 3] (grayscale/CMYK converted).  Returns 0 on
+// success; out must hold h*w*3 bytes (from jpeg_info).
+int64_t jpeg_decode(const uint8_t* buf, int64_t len, uint8_t* out,
+                    int64_t out_h, int64_t out_w) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    if ((int64_t)cinfo.output_height != out_h ||
+        (int64_t)cinfo.output_width != out_w ||
+        cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + (int64_t)cinfo.output_scanline * out_w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+}  // extern "C"

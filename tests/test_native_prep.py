@@ -113,3 +113,38 @@ class TestLoaderParity:
             np.testing.assert_array_equal(bn["image_sizes"],
                                           bp["image_sizes"])
             np.testing.assert_allclose(tn["boxes"], tp["boxes"], rtol=1e-6)
+
+
+class TestNativeJpegDecode:
+    def test_matches_pil(self, tmp_path):
+        import io
+        from PIL import Image
+        if not native_prep.available() or not hasattr(
+                native_prep.get_lib(), "jpeg_decode"):
+            pytest.skip("native jpeg decode unavailable")
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 256, (45, 67, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        data = buf.getvalue()
+        got = native_prep.decode_jpeg(data)
+        assert got is not None and got.shape == (45, 67, 3)
+        want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        # PIL bundles libjpeg-turbo, system lib may differ by IDCT rounding
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_non_jpeg_returns_none(self):
+        if not native_prep.available():
+            pytest.skip("libprep.so unavailable")
+        assert native_prep.decode_jpeg(b"not a jpeg at all") is None
+
+    def test_dataset_uses_native_decode(self, tmp_path):
+        if not native_prep.available() or not hasattr(
+                native_prep.get_lib(), "jpeg_decode"):
+            pytest.skip("native jpeg decode unavailable")
+        from tests.fixtures import make_coco_fixture
+        from hnd_ghnd_tpu.data.coco import CocoDataset
+        img_dir, ann_file = make_coco_fixture(str(tmp_path), num_images=2)
+        ds = CocoDataset(str(img_dir), str(ann_file))
+        img, target = ds[0]
+        assert img.dtype == np.uint8 and img.ndim == 3

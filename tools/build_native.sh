@@ -8,5 +8,5 @@ g++ -O3 -march=native -fPIC -shared -std=c++17 \
     native/cocomask/cocomask.cpp -o build/libcocomask.so
 echo "built build/libcocomask.so"
 g++ -O3 -march=native -fPIC -shared -std=c++17 \
-    native/pipeline/prep.cpp -o build/libprep.so
+    native/pipeline/prep.cpp -o build/libprep.so -ljpeg
 echo "built build/libprep.so"
