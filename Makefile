@@ -1,5 +1,5 @@
 # Common tasks for hnd-ghnd-tpu
-.PHONY: test test-cpu bench native configs dryrun demo clean
+.PHONY: test test-slow bench native configs dryrun demo clean
 
 native:
 	sh tools/build_native.sh
@@ -7,9 +7,13 @@ native:
 configs:
 	python tools/gen_configs.py
 
-# Full test suite on a virtual 8-device CPU mesh (~20 min)
+# Fast oracle core on a virtual 8-device CPU mesh (~15 min on 1 core)
 test: native
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow"
+
+# Heavy e2e/compile tests (runners, split, full parity, 2-process)
+test-slow: native
+	python -m pytest tests/ -q -m "slow"
 
 bench:
 	python bench.py
