@@ -250,7 +250,7 @@ def main(args):
         analyze_model_params(model, params)
     if args.data_size:
         analyze_data_size(test_loader, args.max_images,
-                          resized=args.resized)
+                          resized=getattr(args, "resized", False))
     if args.bottleneck_size:
         assert model.bottleneck is not None, "needs a bottleneck model"
         analyze_bottleneck_size(model, params, state, test_loader,

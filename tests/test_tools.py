@@ -35,7 +35,7 @@ class TestCostAnalyzer:
             config=cfg_path, json=None, device=None, world_size=None,
             dist_url=None, seed=0, model_params=True, data_size=True,
             bottleneck_size=True, split_model=True, quantization=8,
-            max_images=2)
+            max_images=2, resized=True)
         cost_analyzer.main(args)
         out = capsys.readouterr().out
         assert "parameter counts" in out
