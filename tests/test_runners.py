@@ -71,6 +71,7 @@ class TestMimicRunner:
             },
             "train": {
                 "num_epochs": 1, "batch_size": 4, "log_freq": 1,
+                "ckpt_backend": "orbax",
                 "optimizer": {"type": "Adam", "params": {"lr": 0.001}},
                 "criterion": {
                     "type": "general", "params": {"org_loss_factor": 0.0},
@@ -87,13 +88,27 @@ class TestMimicRunner:
         }
         cfg_path = tmp_path / "cfg.yaml"
         cfg_path.write_text(yaml.safe_dump(config))
+        tb_dir = str(tmp_path / "tb")
         args = argparse.Namespace(
             config=str(cfg_path), json=None, device=None, world_size=None,
             dist_url=None, seed=0, distill=True, test_only=False,
             student_only=False, transform_bottleneck=True,
-            skip_teacher_eval=True)
+            skip_teacher_eval=True, tb_dir=tb_dir)
         mimic_runner.main(args)
-        assert os.path.exists(ckpt)  # best ckpt written (mAP >= 0 improves on -inf start only if > 0)
+        # best ckpt written through the orbax backend (a directory) and
+        # loadable via the auto-detecting loader
+        assert os.path.isdir(ckpt)
+        from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+        payload = ckpt_util.load_ckpt(ckpt)
+        assert payload["params"] is not None
+        # TensorBoard curves were written and parse back
+        from hnd_ghnd_tpu.utils.tensorboard import read_scalars
+        events = [f for f in os.listdir(tb_dir)
+                  if f.startswith("events.out.tfevents")]
+        assert len(events) == 1
+        tags = {t for t, _, _ in read_scalars(os.path.join(tb_dir,
+                                                           events[0]))}
+        assert "train/loss" in tags and "val/map" in tags
 
 
 class TestExtRunner:
