@@ -92,6 +92,10 @@ def prep_into(src_u8: np.ndarray, nh: int, nw: int, flip: bool,
     assert src.ndim == 3 and src.shape[2] == 3, src.shape
     assert out_slot.dtype == np.float32 and out_slot.flags.c_contiguous
     bh, bw = out_slot.shape[:2]
+    # bounds-check before crossing into C: prep.cpp zero-pads with
+    # memset(row + nw*3, 0, (bw-nw)*3*4) — a (bw-nw) < 0 would wrap to a
+    # huge size_t (native heap overflow), not a Python exception
+    assert 1 <= nh <= bh and 1 <= nw <= bw, (nh, nw, bh, bw)
     get_lib().prep_image(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         src.shape[0], src.shape[1], nh, nw, int(bool(flip)), bh, bw,

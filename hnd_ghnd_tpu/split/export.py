@@ -76,8 +76,11 @@ def export_split(model, params, state, bucket_hw: Tuple[int, int],
 class ExportedSplit:
     """Deserialized split pair — callable without model code."""
 
-    def __init__(self, blob: bytes):
-        payload = pickle.loads(blob)
+    def __init__(self, blob):
+        """Accepts the serialized bytes or an already-decoded payload dict
+        (load_exported decodes once and passes the dict through, so a
+        multi-hundred-MB artifact is not unpickled twice)."""
+        payload = blob if isinstance(blob, dict) else pickle.loads(blob)
         assert payload["format"] == FORMAT, "unknown artifact format"
         self.bucket_hw = payload["bucket_hw"]
         self.batch = payload["batch"]
@@ -118,8 +121,8 @@ def export_split_set(model, params, state,
 class ExportedSplitSet:
     """Bucket-dispatching wrapper over a set of exported split pairs."""
 
-    def __init__(self, blob: bytes):
-        payload = pickle.loads(blob)
+    def __init__(self, blob):
+        payload = blob if isinstance(blob, dict) else pickle.loads(blob)
         assert payload["format"] == FORMAT_SET, "unknown artifact format"
         self.batch = payload["batch"]
         self.quant_bits = payload["quant_bits"]
@@ -141,10 +144,10 @@ class ExportedSplitSet:
 
 def load_exported(blob: bytes):
     """Load either a single-bucket (v1) or bucket-set (v2) artifact."""
-    fmt = pickle.loads(blob).get("format")
-    if fmt == FORMAT_SET:
-        return ExportedSplitSet(blob)
-    return ExportedSplit(blob)
+    payload = pickle.loads(blob)
+    if payload.get("format") == FORMAT_SET:
+        return ExportedSplitSet(payload)
+    return ExportedSplit(payload)
 
 
 def main():

@@ -58,20 +58,38 @@ def save_ckpt(path: str, *, params, state=None, opt_state=None,
     os.replace(tmp, path)
 
 
+def _remove_any(path: str) -> None:
+    import shutil
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
 def _save_orbax(path: str, payload: Dict[str, Any]) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     trees = {k: payload[k] for k in _TREE_KEYS if payload[k] is not None}
-    if os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
+    # Write to a temp sibling, then swap: a crash mid-save must never
+    # destroy the previous checkpoint (the pickle backend gets this from
+    # tmp + os.replace; directories need a two-rename dance, leaving only
+    # a microsecond window between renames).  A pre-existing pickle-backend
+    # *file* at `path` is handled the same way.
+    tmp = path + ".tmp-orbax"
+    _remove_any(tmp)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, trees)
+    ckptr.save(tmp, trees)
     aux = {k: v for k, v in payload.items() if k not in _TREE_KEYS}
     aux["tree_keys"] = sorted(trees)
-    with open(os.path.join(path, _AUX_FILE), "wb") as f:
+    with open(os.path.join(tmp, _AUX_FILE), "wb") as f:
         pickle.dump(aux, f, protocol=pickle.HIGHEST_PROTOCOL)
+    old = path + ".old"
+    _remove_any(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    _remove_any(old)
 
 
 def load_ckpt(path: str) -> Dict[str, Any]:

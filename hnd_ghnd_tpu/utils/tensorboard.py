@@ -113,6 +113,7 @@ class SummaryWriter:
 
     def __init__(self, log_dir: Optional[str]):
         self._f: Optional[IO[bytes]] = None
+        self.path: Optional[str] = None
         if log_dir is None:
             return
         os.makedirs(log_dir, exist_ok=True)

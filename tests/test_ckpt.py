@@ -101,3 +101,43 @@ class TestOrbaxBackend:
                                 best_value=v, backend="orbax")
         payload = ckpt_util.load_ckpt(path)
         assert payload["best_value"] == 2.0
+
+    def test_orbax_over_prior_pickle_file(self, tmp_path):
+        """Switching ckpt_backend mid-experiment: an orbax save must replace
+        a pre-existing pickle-backend *file* at the same path."""
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+        path = str(tmp_path / "ck")
+        ckpt_util.save_ckpt(path, params={"w": jnp.zeros((2,))},
+                            best_value=1.0, backend="pickle")
+        assert not __import__("os").path.isdir(path)
+        ckpt_util.save_ckpt(path, params={"w": jnp.ones((2,))},
+                            best_value=2.0, backend="orbax")
+        payload = ckpt_util.load_ckpt(path)
+        assert payload["best_value"] == 2.0
+
+    def test_orbax_save_failure_keeps_previous(self, tmp_path, monkeypatch):
+        """A crash mid-save must leave the previous checkpoint loadable
+        (the save writes to a temp sibling and swaps only on success)."""
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+
+        path = str(tmp_path / "ck")
+        ckpt_util.save_ckpt(path, params={"w": jnp.zeros((2,))},
+                            best_value=1.0, backend="orbax")
+
+        real_dump = ckpt_util.pickle.dump
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash during aux write")
+
+        monkeypatch.setattr(ckpt_util.pickle, "dump", boom)
+        try:
+            ckpt_util.save_ckpt(path, params={"w": jnp.ones((2,))},
+                                best_value=2.0, backend="orbax")
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(ckpt_util.pickle, "dump", real_dump)
+        payload = ckpt_util.load_ckpt(path)
+        assert payload["best_value"] == 1.0
