@@ -38,7 +38,7 @@ def get_argparser() -> argparse.ArgumentParser:
     return parser
 
 
-def train(model, params, state, config, args, mesh):
+def train(model, params, state, config, args, mesh, eval_jits=None):
     train_cfg = config["train"]
     model_cfg = config["model"]
     min_sizes = common.keypoint_min_sizes(model.kind, True)
@@ -77,34 +77,45 @@ def train(model, params, state, config, args, mesh):
     tb = SummaryWriter(getattr(args, "tb_dir", None)
                        if multihost.is_main_process() else None)
     global_step = 0
+    log_freq = int(train_cfg.get("log_freq", 1000))
+
+    def log_entry(logger, entry):
+        # delayed-fetch read of a step's scalars (common.StepMetrics); the
+        # NaN-loss hard abort (reference coco_runner.py:51-54) fires here,
+        # within StepMetrics.lag steps of the bad update
+        if entry is None:
+            return
+        idx, loss_val, terms = entry
+        if not math.isfinite(loss_val):
+            print(f"Loss is {loss_val}, stopping training")
+            print(terms)
+            sys.exit(1)
+        logger.update(loss=loss_val, **terms)
+        if idx % log_freq == 0:
+            tb.add_scalar("train/loss", loss_val, idx)
+            for k, v in terms.items():
+                tb.add_scalar(f"train/{k}", v, idx)
+
     for epoch in range(int(train_cfg["num_epochs"])):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
+        metrics = common.StepMetrics()
         for batch, targets, _ in logger.log_every(
-                train_loader, int(train_cfg.get("log_freq", 1000)),
-                f"Epoch: [{epoch}]"):
+                train_loader, log_freq, f"Epoch: [{epoch}]"):
             rng, key = jax.random.split(rng)
             loss, loss_dict, params, state, opt_state = step(
                 params, state, opt_state,
                 put_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh),
                 put_batch({k: jnp.asarray(v) for k, v in targets.items()}, mesh),
                 key)
-            loss_val = float(loss)
-            if not math.isfinite(loss_val):
-                # NaN-loss hard abort (reference coco_runner.py:51-54)
-                print(f"Loss is {loss_val}, stopping training")
-                print({k: float(v) for k, v in loss_dict.items()})
-                sys.exit(1)
-            logger.update(loss=loss_val,
-                          **{k: float(v) for k, v in loss_dict.items()})
             global_step += 1
-            if global_step % int(train_cfg.get("log_freq", 1000)) == 0:
-                tb.add_scalar("train/loss", loss_val, global_step)
-                for k, v in loss_dict.items():
-                    tb.add_scalar(f"train/{k}", float(v), global_step)
+            log_entry(logger, metrics.push(global_step, loss, loss_dict))
+        for entry in metrics.drain():
+            log_entry(logger, entry)
 
-        coco_evaluator = common.evaluate(model, params, state, val_loader,
-                                         mesh=common.eval_mesh_for(val_loader, mesh))
+        coco_evaluator = common.evaluate(
+            model, params, state, val_loader,
+            mesh=common.eval_mesh_for(val_loader, mesh), jits=eval_jits)
         val_map = float(coco_evaluator.stats["bbox"][0])
         tb.add_scalar("val/map", val_map, epoch)
         tb.flush()
@@ -123,6 +134,7 @@ def train(model, params, state, config, args, mesh):
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    common.enable_persistent_compilation_cache()
     distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
     if args.world_size and not distributed:
@@ -131,8 +143,10 @@ def main(args):
     mesh = make_mesh_for_batch(global_batch, devices)
 
     model, params, state = get_model(config["model"], seed=args.seed)
+    eval_jits = common.JitCache(model)
     if args.train:
-        params, state = train(model, params, state, config, args, mesh)
+        params, state = train(model, params, state, config, args, mesh,
+                              eval_jits=eval_jits)
     elif ckpt_util.check_if_exists(config["model"].get("ckpt")):
         payload = ckpt_util.load_ckpt(config["model"]["ckpt"])
         params = payload["params"]
@@ -140,7 +154,8 @@ def main(args):
 
     _, _, test_loader = common.loaders_from_config(config, model.kind, 1)
     common.evaluate(model, params, state, test_loader,
-                    mesh=common.eval_mesh_for(test_loader, mesh))
+                    mesh=common.eval_mesh_for(test_loader, mesh),
+                    jits=eval_jits)
 
 
 def cli():

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import time
+from collections import deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -45,6 +46,65 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--process_id", type=int, default=None)
 
 
+class StepMetrics:
+    """Delayed-fetch training metrics for the runner hot loops.
+
+    The reference reads every loss scalar synchronously each iteration
+    (MetricLogger feed, src/utils/misc_util.py:177-229) — on TPU a blocking
+    D2H round trip per step (~26 ms on a tunneled backend) that defeats
+    async dispatch and made the shipped runners measurably slower than
+    bench.py's chained-dispatch loop.  Here each step's scalars start an
+    async device->host copy at dispatch time and are *read* ``lag`` steps
+    later, when the transfer has already landed:
+
+      * the hot loop never blocks on the step it just dispatched;
+      * reading the lag-old value bounds dispatch run-ahead to ``lag``
+        batches (device memory for in-flight input buffers stays bounded);
+      * the NaN abort (reference coco_runner.py:51-54) still fires within
+        ``lag`` steps of the bad update.
+    """
+
+    def __init__(self, lag: int = 4):
+        self.lag = max(int(lag), 1)
+        self._pending: deque = deque()
+
+    @staticmethod
+    def _start_copy(x) -> None:
+        copy = getattr(x, "copy_to_host_async", None)
+        if copy is not None:
+            try:
+                copy()
+            except RuntimeError:
+                pass  # backend without async copy: device_get still works
+
+    def push(self, step_index: int, loss, loss_dict):
+        """Record one step's device scalars.  Returns the
+        ``(step_index, loss, {term: value})`` floats of the step that fell
+        out of the lag window, or None while the window is filling."""
+        self._start_copy(loss)
+        for v in loss_dict.values():
+            self._start_copy(v)
+        self._pending.append((step_index, loss, dict(loss_dict)))
+        if len(self._pending) > self.lag:
+            return self._read_one()
+        return None
+
+    def _read_one(self):
+        # one device_get over the whole entry: copies are issued for every
+        # leaf before blocking, so all scalars cost one round trip (already
+        # paid at push time when the backend supports async copies)
+        idx, loss, d = self._pending.popleft()
+        loss, d = jax.device_get((loss, d))
+        return idx, float(loss), {k: float(v) for k, v in d.items()}
+
+    def drain(self):
+        """Read every remaining entry (epoch end)."""
+        out = []
+        while self._pending:
+            out.append(self._read_one())
+        return out
+
+
 class JitCache:
     """One compiled forward per (bucket shape, flag tuple)."""
 
@@ -68,18 +128,41 @@ class JitCache:
         return self._cache[key]
 
 
+def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
+    """Turn on JAX's persistent compilation cache for this process.
+
+    Every runner calls this at startup so the 60-80 s eval-forward /
+    multi-minute train-step TPU compiles are paid once per (program, shape)
+    across *runs*, not per process (the dryrun subprocess already did this
+    via JAX_COMPILATION_CACHE_DIR; the runners did not).  Honors an
+    existing JAX_COMPILATION_CACHE_DIR; defaults to .jax_cache in cwd."""
+    import os
+    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as exc:  # backend without executable serialization
+        print(f"persistent compilation cache unavailable: {exc}")
+
+
 def evaluate(model, params, state, loader: DetectionLoader,
              use_bottleneck_transformer: bool = False,
-             log_freq: int = 100, mesh=None) -> CocoEvaluator:
+             log_freq: int = 100, mesh=None,
+             jits: Optional[JitCache] = None) -> CocoEvaluator:
     """COCO evaluation pass. Returns the summarized CocoEvaluator.
 
     With ``mesh`` (and an eval batch size divisible by its device count) the
     batch is sharded over the mesh's data axis and params are replicated, so
     per-epoch val no longer serializes onto one chip — the eval analog of
     the sharded train step (the reference instead evaluates on a single
-    device per process, main_util.py:75-113)."""
+    device per process, main_util.py:75-113).
+
+    ``jits``: pass a runner-scope JitCache to reuse compiled eval programs
+    across epochs (otherwise each call recompiles every bucket shape)."""
     evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
-    jits = JitCache(model)
+    if jits is None:
+        jits = JitCache(model)
+    assert jits.model is model, "JitCache belongs to a different model"
     logger = MetricLogger()
     shard = mesh is not None and mesh.devices.size > 1
     if shard:

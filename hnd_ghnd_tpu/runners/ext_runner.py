@@ -92,9 +92,14 @@ def make_ext_train_step(model, optimizer, mesh):
                    out_shardings=(repl, repl, repl, repl))
 
 
-def collect_probs(model, params, state, loader, keypoint_task: bool):
-    """Eval pass: per-image filter probability P(valid) + label."""
-    jits = {}
+def collect_probs(model, params, state, loader, keypoint_task: bool,
+                  jits: Dict = None):
+    """Eval pass: per-image filter probability P(valid) + label.
+
+    ``jits``: pass a runner-scope dict to reuse compiled forwards across
+    epochs (per-shape cache)."""
+    if jits is None:
+        jits = {}
     probs: List[float] = []
     labels: List[int] = []
     for batch, _, host_targets in loader:
@@ -155,6 +160,7 @@ def print_threshold_table(probs, labels, min_recall: float):
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    common.enable_persistent_compilation_cache()
     distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
     if args.world_size and not distributed:
@@ -170,6 +176,7 @@ def main(args):
     train_cfg = config["train"]
     train_loader, val_loader, test_loader = common.loaders_from_config(
         config, model.kind, int(train_cfg["batch_size"]))
+    eval_jits: Dict = {}
 
     if args.train:
         optimizer, _ = build_optimizer(train_cfg["optimizer"],
@@ -183,6 +190,9 @@ def main(args):
         for epoch in range(int(train_cfg["num_epochs"])):
             train_loader.set_epoch(epoch)
             logger = MetricLogger()
+            # delayed-fetch loss reads (common.StepMetrics): no per-step
+            # blocking D2H in the hot loop
+            metrics = common.StepMetrics()
             for batch, _, host in logger.log_every(
                     train_loader, int(train_cfg.get("log_freq", 1000)),
                     f"Epoch: [{epoch}]"):
@@ -195,9 +205,14 @@ def main(args):
                                        mesh, jax.sharding.PartitionSpec("data"))),
                     jax.device_put(labels, jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec("data"))))
-                logger.update(loss=float(loss))
+                entry = metrics.push(0, loss, {})
+                if entry is not None:
+                    logger.update(loss=entry[1])
+            for entry in metrics.drain():
+                logger.update(loss=entry[1])
             probs, labels = collect_probs(model, params_r, state_r,
-                                          val_loader, keypoint_task)
+                                          val_loader, keypoint_task,
+                                          jits=eval_jits)
             _, _, _, auc = summarize_cls(probs, labels)
             if auc > best_auc and ckpt_path:
                 best_auc = auc
@@ -212,7 +227,7 @@ def main(args):
         state = payload["state"] or state
 
     probs, labels = collect_probs(model, params, state, test_loader,
-                                  keypoint_task)
+                                  keypoint_task, jits=eval_jits)
     summarize_cls(probs, labels)
     print_threshold_table(probs, labels, args.min_recall)
 

@@ -50,7 +50,8 @@ def get_argparser() -> argparse.ArgumentParser:
     return parser
 
 
-def distill(teacher_pack, student_pack, config, args, mesh):
+def distill(teacher_pack, student_pack, config, args, mesh,
+            eval_jits=None):
     teacher, t_params, t_state = teacher_pack
     student, s_params, s_state = student_pack
     train_cfg = config["train"]
@@ -96,9 +97,23 @@ def distill(teacher_pack, student_pack, config, args, mesh):
     tb = SummaryWriter(getattr(args, "tb_dir", None)
                        if multihost.is_main_process() else None)
     global_step = 0
+
+    def log_entry(logger, entry):
+        # delayed-fetch read of a step's scalars (common.StepMetrics): the
+        # hot loop never blocks on the step it just dispatched
+        if entry is None:
+            return
+        idx, loss_val, terms = entry
+        logger.update(loss=loss_val, **terms)
+        if idx % log_freq == 0:
+            tb.add_scalar("train/loss", loss_val, idx)
+            for k, v in terms.items():
+                tb.add_scalar(f"train/{k}", v, idx)
+
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
+        metrics = common.StepMetrics()
         header = f"Epoch: [{epoch}]"
         for batch, _, _ in logger.log_every(train_loader, log_freq, header):
             rng, key = jax.random.split(rng)
@@ -108,24 +123,21 @@ def distill(teacher_pack, student_pack, config, args, mesh):
                 t_params, t_state, s_params, s_state, opt_state,
                 put_batch({k: jnp.asarray(v) for k, v in batch.items()},
                           mesh), key)
-            logger.update(loss=float(loss),
-                          **{k: float(v) for k, v in loss_dict.items()})
             global_step += 1
-            if global_step % log_freq == 0:
-                tb.add_scalar("train/loss", float(loss), global_step)
-                for k, v in loss_dict.items():
-                    tb.add_scalar(f"train/{k}", float(v), global_step)
+            log_entry(logger, metrics.push(global_step, loss, loss_dict))
             if profile_dir:
                 profile_steps += 1
                 if profile_steps == 6:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                     profile_dir = None
+        for entry in metrics.drain():
+            log_entry(logger, entry)
 
         coco_evaluator = common.evaluate(
             student, s_params, s_state, val_loader,
             use_bottleneck_transformer=args.transform_bottleneck,
-            mesh=common.eval_mesh_for(val_loader, mesh))
+            mesh=common.eval_mesh_for(val_loader, mesh), jits=eval_jits)
         val_map = float(coco_evaluator.stats["bbox"][0])
         tb.add_scalar("val/map", val_map, epoch)
         tb.flush()
@@ -149,6 +161,7 @@ def distill(teacher_pack, student_pack, config, args, mesh):
 
 def main(args):
     config = overwrite_config(load_config(args.config), args.json)
+    common.enable_persistent_compilation_cache()
     distributed = multihost.maybe_init_distributed(args)
     devices = jax.devices()
     if args.world_size and not distributed:
@@ -167,10 +180,13 @@ def main(args):
     student, s_params, s_state = get_model(config["student_model"],
                                            seed=args.seed + 1)
 
+    # runner-scope eval program cache: per-epoch val, the post-distill test
+    # eval, and every bucket shape reuse one compiled program each
+    student_jits = common.JitCache(student)
     if args.distill:
         s_params, s_state = distill(
             (teacher, t_params, t_state), (student, s_params, s_state),
-            config, args, mesh)
+            config, args, mesh, eval_jits=student_jits)
     elif ckpt_util.check_if_exists(config["student_model"].get("ckpt")):
         payload = ckpt_util.load_ckpt(config["student_model"]["ckpt"])
         s_params = payload["params"]
@@ -186,7 +202,7 @@ def main(args):
     print("evaluating student")
     common.evaluate(student, s_params, s_state, test_loader,
                     use_bottleneck_transformer=args.transform_bottleneck,
-                    mesh=eval_mesh)
+                    mesh=eval_mesh, jits=student_jits)
 
 
 def cli():

@@ -69,3 +69,50 @@ class TestParamPaths:
         assert mask["y"]["z"]["w"] is False
         assert updatable_param_names(params, ["y.z"]) == ["x.w"]
         assert count_params(params) == 11
+
+
+class TestStepMetrics:
+    """Delayed-fetch metric reads (runners/common.StepMetrics): the runner
+    hot loops must not block on the step they just dispatched."""
+
+    def _mk(self, lag=2):
+        from hnd_ghnd_tpu.runners.common import StepMetrics
+        return StepMetrics(lag=lag)
+
+    def test_lag_window_then_fifo(self):
+        import jax.numpy as jnp
+        m = self._mk(lag=2)
+        out = []
+        for i in range(5):
+            entry = m.push(i, jnp.asarray(float(i)),
+                           {"t": jnp.asarray(float(10 * i))})
+            if entry is not None:
+                out.append(entry)
+        # first `lag` pushes fill the window and return None
+        assert [e[0] for e in out] == [0, 1, 2]
+        assert out[0] == (0, 0.0, {"t": 0.0})
+        assert out[2] == (2, 2.0, {"t": 20.0})
+        rest = m.drain()
+        assert [e[0] for e in rest] == [3, 4]
+        assert rest[-1] == (4, 4.0, {"t": 40.0})
+        assert m.drain() == []
+
+    def test_nan_surfaces_within_lag(self):
+        import math
+        import jax.numpy as jnp
+        m = self._mk(lag=3)
+        seen_nan_at = None
+        for i in range(6):
+            val = float("nan") if i == 1 else float(i)
+            entry = m.push(i, jnp.asarray(val), {})
+            if entry is not None and not math.isfinite(entry[1]):
+                seen_nan_at = i
+                break
+        # the NaN from step 1 must surface no later than step 1 + lag
+        assert seen_nan_at is not None and seen_nan_at <= 1 + 3
+
+    def test_plain_python_floats_ok(self):
+        # drain path works for host scalars too (no device involvement)
+        m = self._mk(lag=1)
+        assert m.push(0, 1.5, {"a": 2.5}) is None
+        assert m.push(1, 3.5, {"a": 4.5}) == (0, 1.5, {"a": 2.5})
