@@ -26,6 +26,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from hnd_ghnd_tpu.data.coco import CocoDataset, ann_to_mask
+from hnd_ghnd_tpu.evals import mask_rle
 
 IOU_THRS = np.linspace(0.5, 0.95, 10)
 REC_THRS = np.linspace(0.0, 1.0, 101)
@@ -66,10 +67,13 @@ def mask_iou_matrix(det_masks: List[np.ndarray], gt_masks: List[np.ndarray],
                     iscrowd: np.ndarray) -> np.ndarray:
     """IoU between binary masks (full-image uint8) via run-length encoding —
     the native cocomask library merges runs without materializing the
-    [N, M, H*W] intersection tensor a dense formulation would need."""
+    [N, M, H*W] intersection tensor a dense formulation would need.
+
+    The evaluator itself stores RLE (see CocoEvaluator.update) and calls
+    mask_rle.iou_matrix directly; this dense-input wrapper remains for
+    callers that hold masks."""
     if len(det_masks) == 0 or len(gt_masks) == 0:
         return np.zeros((len(det_masks), len(gt_masks)))
-    from hnd_ghnd_tpu.evals import mask_rle
     det_rles = [mask_rle.encode(m) for m in det_masks]
     gt_rles = [mask_rle.encode(m) for m in gt_masks]
     return mask_rle.iou_matrix(det_rles, gt_rles,
@@ -77,32 +81,44 @@ def mask_iou_matrix(det_masks: List[np.ndarray], gt_masks: List[np.ndarray],
 
 
 def oks_matrix(det_kps: np.ndarray, gts: List[dict]) -> np.ndarray:
-    """Object Keypoint Similarity, pycocotools computeOks semantics."""
+    """Object Keypoint Similarity, pycocotools computeOks semantics —
+    vectorized as one broadcast [D, G, 17] computation (the published
+    implementation is a per-(det, gt) Python loop; every elementwise op and
+    its order is preserved, the final visible-keypoint sum may differ by
+    ~1 ulp from the loop's due to numpy's pairwise-summation grouping)."""
     if len(det_kps) == 0 or len(gts) == 0:
         return np.zeros((len(det_kps), len(gts)))
-    vars_ = (KP_SIGMAS * 2) ** 2
-    out = np.zeros((len(det_kps), len(gts)))
-    for j, gt in enumerate(gts):
-        g = np.asarray(gt["keypoints"], dtype=np.float64).reshape(-1, 3)
-        xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
-        k1 = (vg > 0).sum()
-        bb = gt["bbox"]
-        x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
-        y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
-        for i, d in enumerate(det_kps):
-            xd, yd = d[:, 0], d[:, 1]
-            if k1 > 0:
-                dx = xd - xg
-                dy = yd - yg
-            else:
-                z = np.zeros_like(xd)
-                dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
-                dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
-            e = (dx ** 2 + dy ** 2) / vars_ / (gt["area"] + np.spacing(1)) / 2
-            if k1 > 0:
-                e = e[vg > 0]
-            out[i, j] = np.sum(np.exp(-e)) / e.shape[0]
-    return out
+    vars_ = (KP_SIGMAS * 2) ** 2                                   # [17]
+    d = np.asarray(det_kps, dtype=np.float64)                      # [D,17,3]
+    xd, yd = d[..., 0][:, None, :], d[..., 1][:, None, :]          # [D,1,17]
+    g = np.asarray([np.asarray(gt["keypoints"], dtype=np.float64).reshape(-1, 3)
+                    for gt in gts])                                # [G,17,3]
+    xg, yg, vg = g[..., 0][None], g[..., 1][None], g[..., 2]       # [1,G,17]
+    k1 = (vg > 0).sum(axis=1)                                      # [G]
+    bb = np.asarray([gt["bbox"] for gt in gts], dtype=np.float64)  # [G,4]
+    x0 = (bb[:, 0] - bb[:, 2])[None, :, None]
+    x1 = (bb[:, 0] + 2 * bb[:, 2])[None, :, None]
+    y0 = (bb[:, 1] - bb[:, 3])[None, :, None]
+    y1 = (bb[:, 1] + 2 * bb[:, 3])[None, :, None]
+    areas = np.asarray([gt["area"] for gt in gts],
+                       dtype=np.float64)[None, :, None]            # [1,G,1]
+    vis = (k1 > 0)[None, :, None]                                  # [1,G,1]
+    # visible-gt branch: plain keypoint offsets; no-visible branch:
+    # distance outside the 3x-expanded gt box
+    dx = np.where(vis, xd - xg,
+                  np.maximum(0.0, x0 - xd) + np.maximum(0.0, xd - x1))
+    dy = np.where(vis, yd - yg,
+                  np.maximum(0.0, y0 - yd) + np.maximum(0.0, yd - y1))
+    e = (dx ** 2 + dy ** 2) / vars_ / (areas + np.spacing(1)) / 2  # [D,G,17]
+    exp_e = np.exp(-e)
+    vmask = (vg > 0)[None]                                         # [1,G,17]
+    # k1>0: mean over visible keypoints (adding exact 0.0 terms preserves
+    # the fp sum bit-for-bit); k1==0: mean over all 17
+    num = np.where(np.broadcast_to(vis, e.shape),
+                   np.where(np.broadcast_to(vmask, e.shape), exp_e, 0.0),
+                   exp_e).sum(axis=-1)
+    den = np.where(k1 > 0, k1, e.shape[-1])[None]
+    return num / den
 
 
 def match_greedy(ious_s: np.ndarray, g_ignore: np.ndarray,
@@ -216,66 +232,32 @@ class COCOEvalNP:
             g = np.asarray([gt["bbox"] for gt in gts], dtype=np.float64)
             rec["ious"] = bbox_iou_matrix(d, g, iscrowd)
         elif self.iou_type == "segm":
-            rec["ious"] = mask_iou_matrix([dt["mask"] for dt in dts],
-                                          [gt["mask"] for gt in gts], iscrowd)
+            # masks are stored as column-major RLE from the moment they
+            # enter the evaluator (update/_ensure_gt), so val2017-scale
+            # eval never holds dense full-image masks (pycocotools stores
+            # RLE throughout, reference coco_eval_util.py:101-111)
+            rec["ious"] = mask_rle.iou_matrix(
+                [dt["rle"] for dt in dts], [gt["rle"] for gt in gts],
+                np.asarray(iscrowd, np.int32))
         else:
             d = np.asarray([np.asarray(dt["keypoints"]).reshape(-1, 3)
                             for dt in dts])
             rec["ious"] = oks_matrix(d, gts)
         return rec
 
-    def _evaluate_img(self, rec: dict, area_rng: Tuple[float, float]):
-        n_d, n_g = rec["ious"].shape
-        if n_d == 0 and n_g == 0:
-            return None
-        lo, hi = area_rng
-        n_thr = len(IOU_THRS)
-        if n_g == 0:
-            # det-only pair: nothing to match; dets outside the area range
-            # are ignored, the rest are FPs
-            d_out = (rec["dt_areas"] < lo) | (rec["dt_areas"] > hi)
-            return {
-                "dt_scores": rec["dt_scores"],
-                "dt_match": np.zeros((n_thr, n_d), dtype=np.int64),
-                "dt_ignore": np.broadcast_to(d_out, (n_thr, n_d)),
-                "gt_ignore": np.zeros(0, dtype=bool),
-                "n_gt": 0,
-            }
-        g_ignore = (rec["g_base_ignore"] | (rec["g_areas"] < lo)
-                    | (rec["g_areas"] > hi))
-        if n_d == 0:
-            # gt-only pair: contributes only the non-ignored gt count
-            return {
-                "dt_scores": rec["dt_scores"],
-                "dt_match": np.zeros((n_thr, 0), dtype=np.int64),
-                "dt_ignore": np.zeros((n_thr, 0), dtype=bool),
-                "gt_ignore": g_ignore,
-                "n_gt": int(n_g - g_ignore.sum()),
-            }
-        # sort gts: non-ignored first (stable), pycocotools gtind order
-        g_order = np.argsort(g_ignore, kind="mergesort")
-        g_ignore = g_ignore[g_order]
-        ious_s = rec["ious"][:, g_order]
-        m_idx = match_greedy(ious_s, g_ignore, IOU_THRS)
-        matched = m_idx >= 0
-        g_ids = rec["g_ids"][g_order]
-        safe = np.clip(m_idx, 0, None)
-        dt_ignore = np.where(matched, g_ignore[safe], False)
-        dt_match = np.where(matched, g_ids[safe], 0)
-        # unmatched dets outside the area range are ignored
-        d_out = (rec["dt_areas"] < lo) | (rec["dt_areas"] > hi)
-        dt_ignore = dt_ignore | ((dt_match == 0) & d_out[None])
-        return {
-            "dt_scores": rec["dt_scores"],
-            "dt_match": dt_match,
-            "dt_ignore": dt_ignore,
-            "gt_ignore": g_ignore,
-            "n_gt": int(n_g - g_ignore.sum()),
-        }
-
     # ----------------------------------------------------------- accumulate
     def accumulate(self):
-        img_ids = sorted(self.img_ids)
+        """Per-category accumulation, vectorized across images.
+
+        pycocotools evaluates each (img, cat, area) record separately and
+        concatenates per-record arrays at accumulate time; at val2017 scale
+        most records are det-only (a detection category with no GT in that
+        image) and the per-record Python overhead dominates.  Here each
+        category keeps ONE set of concatenated det columns (image order);
+        greedy matching runs only for records with both dets and gts, and
+        the per-max_det truncation is a position-in-record mask, so the
+        stable score sort sees exactly the per-record [:max_det] concat the
+        published algorithm produces — results are identical."""
         cat_ids = sorted(self.cat_ids) or [1]
         n_thr, n_rec = len(IOU_THRS), len(REC_THRS)
         n_cat, n_area, n_md = len(cat_ids), len(self.area_labels), len(self.max_dets)
@@ -283,34 +265,74 @@ class COCOEvalNP:
         recall = -np.ones((n_thr, n_cat, n_area, n_md))
         scores = -np.ones((n_thr, n_rec, n_cat, n_area, n_md))
 
-        # (img, cat) pairs with neither gts nor dts contribute nothing
-        # (_evaluate_img returns None); skip them instead of iterating the
-        # full img x cat grid — at val2017 scale most pairs are empty.
+        # (img, cat) pairs with neither gts nor dts contribute nothing;
+        # skip them instead of iterating the full img x cat grid.
         active: Dict[int, list] = defaultdict(list)
         for (img, cat) in set(self.gts) | set(self.dts):
             active[cat].append(img)
 
         for c_i, cat in enumerate(cat_ids):
             imgs = sorted(active.get(cat, []))
-            per_img = {img: self._iou(img, cat) for img in imgs}
+            if not imgs:
+                continue
+            recs = [self._iou(img, cat) for img in imgs]
+            n_ds = np.asarray([len(r["dt_scores"]) for r in recs],
+                              dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(n_ds)])
+            d_tot = int(offsets[-1])
+            if d_tot:
+                dt_scores_cat = np.concatenate([r["dt_scores"] for r in recs])
+                dt_areas_cat = np.concatenate([r["dt_areas"] for r in recs])
+                pos_in_rec = np.concatenate(
+                    [np.arange(n) for n in n_ds if n])
+            else:
+                dt_scores_cat = np.zeros(0)
+                dt_areas_cat = np.zeros(0)
+                pos_in_rec = np.zeros(0, dtype=np.int64)
+            g_areas_cat = np.concatenate([r["g_areas"] for r in recs])
+            g_base_ig_cat = np.concatenate([r["g_base_ignore"] for r in recs])
+
             for a_i, a_lbl in enumerate(self.area_labels):
-                rng = AREA_RNG[a_lbl]
-                evals = [self._evaluate_img(per_img[img], rng)
-                         for img in imgs]
-                evals = [e for e in evals if e is not None]
-                if not evals:
+                lo, hi = AREA_RNG[a_lbl]
+                npig = int(((~g_base_ig_cat) & (g_areas_cat >= lo)
+                            & (g_areas_cat <= hi)).sum())
+                if npig == 0:
                     continue
+                d_out = (dt_areas_cat < lo) | (dt_areas_cat > hi)
+                dt_match_cat = np.zeros((n_thr, d_tot), dtype=np.int64)
+                dt_ig_match = np.zeros((n_thr, d_tot), dtype=bool)
+                for r_i, rec in enumerate(recs):
+                    n_d, n_g = rec["ious"].shape
+                    if n_d == 0 or n_g == 0:
+                        continue
+                    g_ignore = (rec["g_base_ignore"]
+                                | (rec["g_areas"] < lo)
+                                | (rec["g_areas"] > hi))
+                    # sort gts: non-ignored first (stable), pycocotools
+                    # gtind order
+                    g_order = np.argsort(g_ignore, kind="mergesort")
+                    g_ignore = g_ignore[g_order]
+                    m_idx = match_greedy(rec["ious"][:, g_order], g_ignore,
+                                         IOU_THRS)
+                    matched = m_idx >= 0
+                    g_ids = rec["g_ids"][g_order]
+                    safe = np.clip(m_idx, 0, None)
+                    cols = slice(offsets[r_i], offsets[r_i] + n_d)
+                    dt_ig_match[:, cols] = np.where(matched, g_ignore[safe],
+                                                    False)
+                    dt_match_cat[:, cols] = np.where(matched, g_ids[safe], 0)
+                # unmatched dets outside the area range are ignored
+                dt_ignore_cat = dt_ig_match | ((dt_match_cat == 0)
+                                               & d_out[None])
+
                 for m_i, max_det in enumerate(self.max_dets):
-                    sc = np.concatenate([e["dt_scores"][:max_det] for e in evals])
+                    sel = pos_in_rec < max_det
+                    sc = dt_scores_cat[sel]
                     order = np.argsort(-sc, kind="mergesort")
                     sc = sc[order]
-                    dtm = np.concatenate(
-                        [e["dt_match"][:, :max_det] for e in evals], axis=1)[:, order]
-                    dti = np.concatenate(
-                        [e["dt_ignore"][:, :max_det] for e in evals], axis=1)[:, order]
-                    n_gt = sum(e["n_gt"] for e in evals)
-                    if n_gt == 0:
-                        continue
+                    dtm = dt_match_cat[:, sel][:, order]
+                    dti = dt_ignore_cat[:, sel][:, order]
+                    n_gt = npig
                     tps = (dtm > 0) & ~dti
                     fps = (dtm == 0) & ~dti
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
@@ -415,10 +437,13 @@ class CocoEvaluator:
                      "bbox": list(ann["bbox"]), "area": ann["area"],
                      "iscrowd": ann.get("iscrowd", 0)}
                 if t == "segm":
-                    g["mask"] = ann_to_mask(ann, info["height"], info["width"])
+                    # rasterize transiently, store RLE only (bounded memory
+                    # at val2017 scale); rle area == dense mask sum
+                    dense = ann_to_mask(ann, info["height"], info["width"])
+                    g["rle"] = mask_rle.encode(dense)
                     # segm eval measures mask area
-                    g["area"] = float(g["mask"].sum()) if "segmentation" in ann \
-                        else ann["area"]
+                    g["area"] = float(mask_rle.area(g["rle"])) \
+                        if "segmentation" in ann else ann["area"]
                 if t == "keypoints":
                     if "keypoints" not in ann:
                         continue
@@ -444,8 +469,9 @@ class CocoEvaluator:
                          "bbox": xywh[i].tolist(), "score": float(scores[i]),
                          "area": float(xywh[i, 2] * xywh[i, 3])}
                     if t == "segm":
-                        d["mask"] = np.asarray(pred["masks"][i], dtype=np.uint8)
-                        d["area"] = float(d["mask"].sum())
+                        d["rle"] = mask_rle.encode(
+                            np.asarray(pred["masks"][i], dtype=np.uint8))
+                        d["area"] = float(mask_rle.area(d["rle"]))
                     if t == "keypoints":
                         d["keypoints"] = np.asarray(
                             pred["keypoints"][i]).reshape(-1).tolist()

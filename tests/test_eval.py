@@ -241,3 +241,179 @@ class TestMatchGreedyNative:
         ev.summarize()
         elapsed = time.time() - t0
         assert elapsed < 30.0, f"accumulate too slow: {elapsed:.1f}s for 500 imgs"
+
+
+def _rect_rle(x0, y0, w, h, H, W):
+    """Column-major RLE of an axis-aligned rectangle on an HxW canvas."""
+    mask = np.zeros((H, W), np.uint8)
+    mask[y0:y0 + h, x0:x0 + w] = 1
+    from hnd_ghnd_tpu.evals import mask_rle
+    return mask_rle.encode(mask)
+
+
+class TestVal2017ScaleGuards:
+    """Scale guards at the real val2017 bar (5k images; the reference leans
+    on pycocotools C for this, src/utils/coco_eval_util.py:295-340)."""
+
+    def test_bbox_5k_images_under_60s(self):
+        import time
+        from hnd_ghnd_tpu.evals import coco_eval as ce
+        rng = np.random.RandomState(0)
+        ev = ce.COCOEvalNP("bbox")
+        aid = 1
+        for img in range(5000):
+            gts = []
+            for _ in range(rng.randint(1, 10)):
+                x, y = rng.rand(2) * 500
+                w, h = rng.rand(2) * 150 + 5
+                gts.append({"id": aid, "category_id": int(rng.randint(1, 81)),
+                            "bbox": [x, y, w, h], "area": float(w * h),
+                            "iscrowd": int(rng.rand() < 0.03)})
+                aid += 1
+            ev.add_gt_annotations(gts, img)
+            xy = rng.rand(100, 2) * 500
+            wh = rng.rand(100, 2) * 150 + 5
+            sc = rng.rand(100)
+            cats = rng.randint(1, 81, 100)
+            dets = [{"id": k + 1, "category_id": int(cats[k]),
+                     "bbox": [xy[k, 0], xy[k, 1], wh[k, 0], wh[k, 1]],
+                     "area": float(wh[k, 0] * wh[k, 1]),
+                     "score": float(sc[k])} for k in range(100)]
+            ev.add_detections(dets, img)
+        t0 = time.time()
+        ev.accumulate()
+        stats = ev.summarize()
+        elapsed = time.time() - t0
+        assert np.isfinite(stats[0])
+        assert elapsed < 60.0, f"accumulate too slow: {elapsed:.1f}s for 5k imgs"
+
+    def test_segm_5k_images_rle_storage_bounded(self):
+        """Segm at 5k-image scale: the evaluator must hold RLE, never dense
+        masks — retained mask storage for 5k x 20 dets + gts stays in the
+        tens of MB (dense full-image masks would be ~30 GB), and accumulate
+        finishes under 60 s."""
+        import time
+        from hnd_ghnd_tpu.evals import coco_eval as ce
+        H, W = 480, 640
+        rng = np.random.RandomState(1)
+        ev = ce.COCOEvalNP("segm")
+        aid = 1
+        for img in range(5000):
+            gts = []
+            for _ in range(rng.randint(1, 6)):
+                x0, y0 = int(rng.randint(0, W - 80)), int(rng.randint(0, H - 80))
+                w, h = int(rng.randint(10, 80)), int(rng.randint(10, 80))
+                rle = _rect_rle(x0, y0, w, h, H, W)
+                gts.append({"id": aid, "category_id": int(rng.randint(1, 81)),
+                            "bbox": [x0, y0, w, h], "area": float(w * h),
+                            "iscrowd": 0, "rle": rle})
+                aid += 1
+            ev.add_gt_annotations(gts, img)
+            dets = []
+            for k in range(20):
+                x0, y0 = int(rng.randint(0, W - 80)), int(rng.randint(0, H - 80))
+                w, h = int(rng.randint(10, 80)), int(rng.randint(10, 80))
+                rle = _rect_rle(x0, y0, w, h, H, W)
+                dets.append({"id": k + 1, "category_id": int(rng.randint(1, 81)),
+                             "bbox": [x0, y0, w, h], "area": float(w * h),
+                             "score": float(rng.rand()), "rle": rle})
+            ev.add_detections(dets, img)
+        stored = 0
+        for store in (ev.gts, ev.dts):
+            for recs in store.values():
+                for r in recs:
+                    assert "mask" not in r, "dense mask retained in evaluator"
+                    stored += r["rle"].nbytes
+        assert stored < 200 * 1024 * 1024, f"RLE storage too big: {stored>>20} MB"
+        t0 = time.time()
+        ev.accumulate()
+        stats = ev.summarize()
+        elapsed = time.time() - t0
+        assert np.isfinite(stats[0])
+        assert elapsed < 60.0, f"segm accumulate too slow: {elapsed:.1f}s"
+
+    def test_keypoints_5k_person_images(self):
+        """OKS accumulate at 5k person-image scale (vectorized oks_matrix)."""
+        import time
+        from hnd_ghnd_tpu.evals import coco_eval as ce
+        rng = np.random.RandomState(2)
+        ev = ce.COCOEvalNP("keypoints")
+        aid = 1
+        for img in range(5000):
+            gts = []
+            for _ in range(rng.randint(1, 5)):
+                x0, y0 = rng.rand(2) * 400
+                w, h = rng.rand(2) * 150 + 30
+                kp = np.c_[x0 + rng.rand(17) * w, y0 + rng.rand(17) * h,
+                           rng.randint(0, 3, 17)].reshape(-1)
+                gts.append({"id": aid, "category_id": 1,
+                            "bbox": [x0, y0, w, h], "area": float(w * h),
+                            "iscrowd": 0, "keypoints": kp.tolist(),
+                            "num_keypoints": int((kp[2::3] > 0).sum())})
+                aid += 1
+            ev.add_gt_annotations(gts, img)
+            dets = []
+            for k in range(20):
+                x0, y0 = rng.rand(2) * 400
+                w, h = rng.rand(2) * 150 + 30
+                kp = np.c_[x0 + rng.rand(17) * w, y0 + rng.rand(17) * h,
+                           np.full(17, 2)].reshape(-1)
+                dets.append({"id": k + 1, "category_id": 1,
+                             "bbox": [x0, y0, w, h], "area": float(w * h),
+                             "score": float(rng.rand()),
+                             "keypoints": kp.tolist()})
+            ev.add_detections(dets, img)
+        t0 = time.time()
+        ev.accumulate()
+        stats = ev.summarize()
+        elapsed = time.time() - t0
+        assert np.isfinite(stats[0])
+        assert elapsed < 60.0, f"kp accumulate too slow: {elapsed:.1f}s"
+
+
+class TestOksVectorized:
+    def test_matches_reference_loop(self):
+        """Vectorized oks_matrix vs the published per-(det,gt) loop."""
+        from hnd_ghnd_tpu.evals.coco_eval import KP_SIGMAS, oks_matrix
+
+        def oks_loop(det_kps, gts):
+            vars_ = (KP_SIGMAS * 2) ** 2
+            out = np.zeros((len(det_kps), len(gts)))
+            for j, gt in enumerate(gts):
+                g = np.asarray(gt["keypoints"], dtype=np.float64).reshape(-1, 3)
+                xg, yg, vg = g[:, 0], g[:, 1], g[:, 2]
+                k1 = (vg > 0).sum()
+                bb = gt["bbox"]
+                x0, x1 = bb[0] - bb[2], bb[0] + 2 * bb[2]
+                y0, y1 = bb[1] - bb[3], bb[1] + 2 * bb[3]
+                for i, d in enumerate(det_kps):
+                    xd, yd = d[:, 0], d[:, 1]
+                    if k1 > 0:
+                        dx, dy = xd - xg, yd - yg
+                    else:
+                        z = np.zeros_like(xd)
+                        dx = np.maximum(z, x0 - xd) + np.maximum(z, xd - x1)
+                        dy = np.maximum(z, y0 - yd) + np.maximum(z, yd - y1)
+                    e = (dx ** 2 + dy ** 2) / vars_ / \
+                        (gt["area"] + np.spacing(1)) / 2
+                    if k1 > 0:
+                        e = e[vg > 0]
+                    out[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+            return out
+
+        rng = np.random.RandomState(7)
+        for trial in range(20):
+            n_d, n_g = rng.randint(1, 8), rng.randint(1, 6)
+            det_kps = rng.rand(n_d, 17, 3) * 100
+            gts = []
+            for _ in range(n_g):
+                vis = rng.randint(0, 3, 17)
+                if rng.rand() < 0.3:
+                    vis[:] = 0  # exercise the box-distance branch
+                kp = np.c_[rng.rand(17) * 100, rng.rand(17) * 100, vis]
+                x0, y0 = rng.rand(2) * 50
+                w, h = rng.rand(2) * 60 + 10
+                gts.append({"keypoints": kp.reshape(-1).tolist(),
+                            "bbox": [x0, y0, w, h], "area": float(w * h)})
+            np.testing.assert_allclose(oks_matrix(det_kps, gts),
+                                       oks_loop(det_kps, gts), rtol=1e-13)
