@@ -42,6 +42,13 @@ def get_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--quantization", type=int, default=8,
                         help="wire bits for --split_model / --bottleneck_size"
                              " (8 or 16; <=0 disables)")
+    parser.add_argument("--int8_tail", action="store_true",
+                        help="with --split_model: also run the int8 server "
+                             "tail (integer trunk weights+activations, "
+                             "split/int8.py) and report its latency and "
+                             "mAP delta vs the fp tail")
+    parser.add_argument("--calib_images", type=int, default=8,
+                        help="calibration images for --int8_tail")
     parser.add_argument("--max_images", type=int, default=None,
                         help="cap analyzed test images")
     parser.add_argument("-resized", action="store_true",
@@ -186,10 +193,35 @@ def analyze_bottleneck_size(model, params, state, loader, quant_bits,
 
 def analyze_split_model_inference(model, params, state, loader, quant_bits,
                                   max_images: Optional[int],
-                                  ext_threshold: Optional[float]) -> None:
+                                  ext_threshold: Optional[float],
+                                  int8_tail: bool = False,
+                                  calib_images: int = 8) -> None:
     split = SplitRCNN(model, quant_bits if quant_bits > 0 else None)
     head_jit, tail_call, _ = split.build(params, state)
     evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
+
+    int8_call = None
+    int8_evaluator = None
+    int8_times: List[float] = []
+    if int8_tail:
+        # int8 server tail (split/int8.py): integer trunk weights +
+        # activations, calibrated on the first images of the test split
+        assert quant_bits == 8, "--int8_tail requires an 8-bit wire"
+        from hnd_ghnd_tpu.split import int8 as qi
+        calib: List[np.ndarray] = []
+        for batch, _, host in loader:
+            for i, tgt in enumerate(host):
+                if tgt.get("is_padding") or len(calib) >= calib_images:
+                    continue
+                calib.append(np.asarray(batch["images"][i:i + 1]))
+            if len(calib) >= calib_images:
+                break
+        scales = qi.calibrate_from_images(model, params, state, calib)
+        print(f"int8 tail calibrated on {len(calib)} images "
+              f"({len(scales)} activation sites)")
+        int8_call = qi.Int8SplitTail(model, params, state, scales).build()
+        int8_evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
+
     head_times, tail_times, wire_kb = [], [], []
     seen = 0
     for batch, _, host in loader:
@@ -206,24 +238,33 @@ def analyze_split_model_inference(model, params, state, loader, quant_bits,
                                   ext_threshold=ext_threshold)
             head_times.append(time.perf_counter() - t0)
             if wire is None:  # ext filter aborted: empty prediction
-                evaluator.update({tgt["image_id"]: {
-                    "boxes": np.zeros((0, 4)), "scores": np.zeros(0),
-                    "labels": np.zeros(0, np.int64)}})
+                empty = {"boxes": np.zeros((0, 4)), "scores": np.zeros(0),
+                         "labels": np.zeros(0, np.int64)}
+                evaluator.update({tgt["image_id"]: dict(empty)})
+                if int8_evaluator is not None:
+                    int8_evaluator.update({tgt["image_id"]: dict(empty)})
                 seen += 1
                 continue
             wire_kb.append(len(wire) / 1024.0)
+            orig = tuple(tgt["original_size"])
+            valid = (int(batch["image_sizes"][i][0]),
+                     int(batch["image_sizes"][i][1]))
             t0 = time.perf_counter()
             dets = split.run_server(tail_call, wire, tuple(bucket))
             tail_times.append(time.perf_counter() - t0)
-            preds = finalize_predictions(
-                dets, 0, tuple(tgt["original_size"]),
-                (int(batch["image_sizes"][i][0]),
-                 int(batch["image_sizes"][i][1])))
-            evaluator.update({tgt["image_id"]: preds})
+            evaluator.update({tgt["image_id"]: finalize_predictions(
+                dets, 0, orig, valid)})
+            if int8_call is not None:
+                t0 = time.perf_counter()
+                dets8 = split.run_server(int8_call, wire, tuple(bucket))
+                int8_times.append(time.perf_counter() - t0)
+                int8_evaluator.update({tgt["image_id"]: finalize_predictions(
+                    dets8, 0, orig, valid)})
             seen += 1
         if max_images and seen >= max_images:
             break
-    for name, times in (("head", head_times), ("tail", tail_times)):
+    for name, times in (("head", head_times), ("tail", tail_times),
+                        ("int8 tail", int8_times)):
         if times:
             # drop the first (compile) sample
             arr = np.asarray(times[1:] or times)
@@ -231,7 +272,16 @@ def analyze_split_model_inference(model, params, state, loader, quant_bits,
                   f"{arr.std() * 1000:.2f} ms")
     summarize_data_sizes(wire_kb, "wire payload")
     evaluator.accumulate()
-    evaluator.summarize()
+    stats = evaluator.summarize()
+    if int8_evaluator is not None:
+        print("int8 tail evaluation:")
+        int8_evaluator.accumulate()
+        stats8 = int8_evaluator.summarize()
+        for t in stats:
+            delta = float(stats8[t][0]) - float(stats[t][0])
+            print(f"int8 tail mAP delta [{t}]: {delta:+.4f} "
+                  f"(fp {float(stats[t][0]):.4f} -> "
+                  f"int8 {float(stats8[t][0]):.4f})")
 
 
 def main(args):
@@ -259,7 +309,11 @@ def main(args):
         assert model.bottleneck is not None, "needs a bottleneck model"
         analyze_split_model_inference(model, params, state, test_loader,
                                       args.quantization, args.max_images,
-                                      ext_threshold)
+                                      ext_threshold,
+                                      int8_tail=getattr(args, "int8_tail",
+                                                        False),
+                                      calib_images=getattr(args,
+                                                           "calib_images", 8))
 
 
 def cli():

@@ -35,7 +35,7 @@ class TestCostAnalyzer:
             config=cfg_path, json=None, device=None, world_size=None,
             dist_url=None, seed=0, model_params=True, data_size=True,
             bottleneck_size=True, split_model=True, quantization=8,
-            max_images=2, resized=True)
+            max_images=2, resized=True, int8_tail=True, calib_images=2)
         cost_analyzer.main(args)
         out = capsys.readouterr().out
         assert "parameter counts" in out
@@ -44,6 +44,10 @@ class TestCostAnalyzer:
         assert "bottleneck fp32" in out
         assert "head latency" in out
         assert "mAP" in out
+        # the int8 server tail A/B (split/int8.py): latency + mAP delta
+        assert "int8 tail calibrated on 2 images" in out
+        assert "int8 tail latency" in out
+        assert "int8 tail mAP delta [bbox]" in out
 
 
 class TestVisualizer:

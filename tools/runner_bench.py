@@ -1,0 +1,165 @@
+"""Measure the PRODUCTION runner loop's sustained throughput on TPU.
+
+Round-2 verdict: bench.py (chained dispatch, one final sync) measured 97.7
+img/s/chip, but the shipped runners forced a ~26 ms host sync per step, so
+the product could not reach the benchmark.  Round 3 removed the per-step
+syncs (runners/common.StepMetrics); this tool proves the SHIPPED
+mimic_runner.distill loop — MetricLogger, StepMetrics, put_batch, the real
+jitted GHND step — now sustains the benchmarked rate.
+
+Method (the corrected chained-dispatch measurement): num_epochs=2 with a
+fixed number of steps per epoch; epoch 1 pays every compile; the epoch-2
+training window is timed from the end of epoch 1's eval to the start of
+epoch 2's eval.  That window contains epoch 2's full dispatch loop AND its
+StepMetrics drain (which syncs on the last step), i.e. N fully-executed
+steps with one final sync — no per-step read in the timed region.
+
+The batch is generated ON DEVICE once and re-yielded every step: the
+container's tunneled TPU stages host->device at ~minutes per 160 MB, so a
+real 24 x 832 x 1344 host batch would measure the tunnel, not the loop (on
+real deployments H2D is local DMA; bench.py makes the same choice).
+
+Usage:  python tools/runner_bench.py [--batch 24] [--steps 120] [--hw 832,1344]
+Prints: one JSON line {"metric": "mimic_runner_distill_img_s", ...}.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class RepeatLoader:
+    """Loader stand-in: yields the same (already on-device) batch N times.
+
+    Implements the surface distill() consumes: iteration over
+    (batch, targets, host_targets), len(), set_epoch()."""
+
+    def __init__(self, batch, steps):
+        self.batch = batch
+        self.steps = steps
+        self.batch_size = batch["images"].shape[0]
+
+    def __len__(self):
+        return self.steps
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        for _ in range(self.steps):
+            yield self.batch, None, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--hw", default="832,1344")
+    ap.add_argument("--kind", choices=("ghnd", "hnd"), default="ghnd")
+    ap.add_argument("--baseline", type=float, default=10.0,
+                    help="V100 img/s anchor (BASELINE.md)")
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.hw.split(","))
+
+    import __graft_entry__ as ge
+    from hnd_ghnd_tpu.models.factory import build_model
+    from hnd_ghnd_tpu.runners import common, mimic_runner
+
+    teacher = build_model(ge._teacher_config())
+    student = build_model(ge._student_config())
+    t_params, t_state = teacher.init(jax.random.PRNGKey(0))
+    s_params, s_state = student.init(jax.random.PRNGKey(1))
+
+    stages = (1,) if args.kind == "hnd" else (1, 2, 3, 4)
+    config = {
+        "train": {
+            "batch_size": args.batch, "num_epochs": 2, "log_freq": 10000,
+            "optimizer": {"type": "Adam", "params": {"lr": 1e-3}},
+            "criterion": {
+                "type": "general", "params": {"org_loss_factor": 0.0},
+                "terms": {f"layer{i}": {
+                    "ts_modules": [f"backbone.body.layer{i}"] * 2,
+                    "criterion": {"type": "MSELoss",
+                                  "params": {"reduction": "sum"}},
+                    "factor": 1.0} for i in stages}},
+        },
+        "student_model": dict(ge._student_config(), frozen_modules=[
+            "backbone.body.layer2", "backbone.body.layer3",
+            "backbone.body.layer4", "backbone.fpn", "rpn", "roi_heads"]),
+        "tpu": {"compute_dtype": "bfloat16"},
+    }
+
+    # on-device batch (bf16 images like the runner's cast target; fp32 in
+    # the loader path — use fp32 so the step's .astype is exercised)
+    key = jax.random.PRNGKey(42)
+    batch = {
+        "images": jax.random.uniform(key, (args.batch, h, w, 3),
+                                     jnp.float32),
+        "image_sizes": jnp.asarray([[800, 1333]] * args.batch, jnp.int32),
+        "original_sizes": jnp.asarray([[480, 640]] * args.batch, jnp.int32),
+    }
+    jax.block_until_ready(batch["images"])
+
+    train_loader = RepeatLoader(batch, args.steps)
+    eval_marks = []
+
+    def fake_evaluate(*a, **k):
+        # bracket the training windows without paying a val-set compile;
+        # returns the stats surface distill() reads
+        eval_marks.append(time.perf_counter())
+
+        class EV:
+            stats = {"bbox": np.zeros(12)}
+        return EV()
+
+    class ValStub:
+        # the surface eval_mesh_for touches before common.evaluate is hit
+        batch_size = 1
+
+    orig_loaders = common.loaders_from_config
+    common.loaders_from_config = lambda *a, **k: (train_loader, ValStub(),
+                                                  None)
+    orig_eval = common.evaluate
+    common.evaluate = fake_evaluate
+    try:
+        class A:
+            seed = 0
+            transform_bottleneck = False
+            profile_dir = None
+            tb_dir = None
+
+        from hnd_ghnd_tpu.parallel.mesh import make_mesh_for_batch
+        mesh = make_mesh_for_batch(args.batch, jax.devices()[:1])
+        t0 = time.perf_counter()
+        mimic_runner.distill((teacher, t_params, t_state),
+                             (student, s_params, s_state), config, A(), mesh)
+        t_end = time.perf_counter()
+    finally:
+        common.loaders_from_config = orig_loaders
+        common.evaluate = orig_eval
+
+    assert len(eval_marks) == 2, eval_marks
+    # epoch-2 window: end of epoch-1 eval -> start of epoch-2 eval
+    window = eval_marks[1] - eval_marks[0]
+    img_s = args.batch * args.steps / window
+    print(json.dumps({
+        "metric": f"mimic_runner_distill_img_s_{args.kind}_b{args.batch}",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / args.baseline, 2),
+        "window_s": round(window, 2),
+        "steps": args.steps,
+        "epoch1_s": round(eval_marks[0] - t0, 2),
+        "total_s": round(t_end - t0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
