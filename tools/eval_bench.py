@@ -1,0 +1,203 @@
+"""Eval-path stage attribution on TPU (VERDICT round-2 item 6).
+
+Times the batch-8 detector eval forward and its stages with the corrected
+chained measurement (K dependent applications inside one jit, one final
+scalar sync — a per-call host read costs ~26 ms on this tunneled backend and
+would swamp every stage).
+
+Stages: full forward | backbone+FPN | RPN propose | RoI stage (infer), and
+inside the RoI stage: the RoIAlign gather, the box head matmuls, and the
+per-image postprocess (softmax/decode/clip/top-k/NMS) — so the RoI-stage
+milliseconds are attributed component by component.
+
+Usage: python tools/eval_bench.py [--batch 8] [--hw 832,1344] [--iters 10]
+Prints one JSON line per measurement.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _first_leaf_scalar(tree):
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return leaf.ravel()[0].astype(jnp.float32)
+
+
+def chain_time(name, fn, args, iters, perturb_path=0):
+    """Compile fn, then run `iters` data-dependent applications inside one
+    jit; returns seconds per application (one final host read)."""
+
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+
+    @jax.jit
+    def chained(*flat):
+        s = jnp.float32(0.0)
+        out = None
+        for _ in range(iters):
+            cur = list(flat)
+            # inject the chain scalar into one float leaf (epsilon-scaled:
+            # value-neutral, dependency-real)
+            cur[perturb_path] = cur[perturb_path] + s * jnp.asarray(
+                1e-30, cur[perturb_path].dtype)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, cur))
+            s = s + _first_leaf_scalar(out)
+        return s
+
+    # warmup/compile
+    float(chained(*leaves))
+    t0 = time.perf_counter()
+    float(chained(*leaves))
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"stage": name, "ms": round(dt * 1000, 2)}), flush=True)
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hw", default="832,1344")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    h, w = (int(v) for v in args.hw.split(","))
+    b = args.batch
+
+    import __graft_entry__ as ge
+    from hnd_ghnd_tpu.models.factory import build_model
+
+    model = build_model(ge._student_config())
+    params, state = model.init(jax.random.PRNGKey(0))
+    dtype = jnp.bfloat16
+
+    key = jax.random.PRNGKey(7)
+    images = jax.random.uniform(key, (b, h, w, 3), dtype)
+    sizes = jnp.asarray([[800, 1333]] * b, jnp.int32)
+    osizes = jnp.asarray([[480, 640]] * b, jnp.int32)
+    batch = {"images": images, "image_sizes": sizes,
+             "original_sizes": osizes}
+    image_shape = (h, w)
+
+    # ---------------------------------------------------------------- full
+    def full(images):
+        dets, _, _ = model.forward(params, state,
+                                   dict(batch, images=images),
+                                   training=False,
+                                   use_bottleneck_transformer=True)
+        return dets["scores"]
+
+    t_full = chain_time("full_forward", full, (images,), args.iters)
+    print(json.dumps({"stage": "full_img_s",
+                      "value": round(b / t_full, 1)}), flush=True)
+
+    # ------------------------------------------------------- backbone+FPN
+    def bb(images):
+        _, fpn_feats, _, _ = model.backbone_features(
+            params, state, images, training=False,
+            use_bottleneck_transformer=True)
+        return fpn_feats
+
+    t_bb = chain_time("backbone_fpn", bb, (images,), args.iters)
+    fpn_feats = jax.jit(bb)(images)
+    fpn_feats = jax.tree_util.tree_map(jax.block_until_ready, fpn_feats)
+    print(json.dumps({"stage": "fpn_dtype",
+                      "value": str(fpn_feats[0].dtype)}), flush=True)
+
+    # --------------------------------------------------------------- RPN
+    def rpn_fn(feats):
+        proposals, prop_valid, _ = model.rpn.propose(
+            params["rpn"], feats, sizes, image_shape, training=False)
+        return proposals, prop_valid
+
+    t_rpn = chain_time("rpn_propose", rpn_fn, (fpn_feats,), args.iters)
+    proposals, prop_valid = jax.jit(rpn_fn)(fpn_feats)
+    proposals = jax.block_until_ready(proposals)
+
+    # --------------------------------------------------------- RoI stage
+    def roi_fn(feats, props):
+        dets = model.roi_heads.infer(params["roi_heads"], feats, props,
+                                     prop_valid, sizes, image_shape)
+        return dets["scores"]
+
+    t_roi = chain_time("roi_stage", roi_fn, (fpn_feats, proposals),
+                       args.iters)
+
+    # RoI sub-stages -------------------------------------------------------
+    from hnd_ghnd_tpu.ops.roi_align import multiscale_roi_align_batch
+
+    def pool_fn(feats, props):
+        return multiscale_roi_align_batch(
+            feats[:4], props, image_shape,
+            model.roi_heads.cfg.box_pool_size, boxes_valid=prop_valid)
+
+    t_pool = chain_time("roi_align_gather", pool_fn, (fpn_feats, proposals),
+                        args.iters)
+    pooled = jax.block_until_ready(jax.jit(pool_fn)(fpn_feats, proposals))
+    r = proposals.shape[1]
+
+    def head_fn(pooled):
+        rep = model.roi_heads.box_head.apply(
+            params["roi_heads"]["box_head"],
+            pooled.reshape((b * r,) + pooled.shape[2:]))
+        cls, deltas = model.roi_heads.box_predictor.apply(
+            params["roi_heads"]["box_predictor"], rep)
+        return cls, deltas
+
+    t_head = chain_time("box_head", head_fn, (pooled,), args.iters)
+    cls, deltas = jax.jit(head_fn)(pooled)
+    cls = jax.block_until_ready(cls)
+
+    # postprocess = RoI stage minus pool minus head (all jitted separately;
+    # small fusion slack) plus a direct measurement of its two hot ops
+    print(json.dumps({"stage": "roi_post_residual_ms",
+                      "ms": round((t_roi - t_pool - t_head) * 1000, 2)}),
+          flush=True)
+
+    ncls = model.roi_heads.cfg.num_classes
+    fg = r * (ncls - 1)
+    scores_flat = jax.random.uniform(key, (b, fg), jnp.float32)
+
+    def topk_fn(s):
+        return jax.vmap(lambda x: jax.lax.top_k(x, min(4096, fg)))(s)[0]
+
+    t_topk = chain_time("topk_90k_to_4096", topk_fn, (scores_flat,),
+                        args.iters)
+
+    from hnd_ghnd_tpu.ops import nms as nms_ops
+    bxs = jax.random.uniform(key, (b, 4096, 4), jnp.float32) * 800
+    bxs = bxs.at[..., 2:].set(bxs[..., :2] + 16.0)
+    scs = jax.random.uniform(key, (b, 4096), jnp.float32)
+    lbl = jax.random.randint(key, (b, 4096), 1, ncls, jnp.int32)
+
+    def nms_fn(bxs, scs):
+        def one(bx, sc, lb):
+            return nms_ops.batched_nms(
+                bx, sc, lb, model.roi_heads.cfg.nms_thresh,
+                model.roi_heads.cfg.detections_per_img,
+                jnp.ones(bx.shape[0], bool))[0]
+        return jax.vmap(one)(bxs, scs, lbl)
+
+    t_nms = chain_time("batched_nms_4096", nms_fn, (bxs, scs), args.iters)
+
+    print(json.dumps({
+        "summary": {
+            "full_ms": round(t_full * 1000, 2),
+            "backbone_fpn_ms": round(t_bb * 1000, 2),
+            "rpn_ms": round(t_rpn * 1000, 2),
+            "roi_ms": round(t_roi * 1000, 2),
+            "roi_align_ms": round(t_pool * 1000, 2),
+            "box_head_ms": round(t_head * 1000, 2),
+            "topk_ms": round(t_topk * 1000, 2),
+            "nms_ms": round(t_nms * 1000, 2),
+            "img_s": round(b / t_full, 1),
+        }}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
