@@ -73,7 +73,10 @@ def build_model(model_config: Dict[str, Any]) -> RCNN:
 
     return RCNN(kind=kind, backbone_name=backbone_name,
                 num_classes=num_classes, bottleneck=bottleneck,
-                num_keypoints=num_keypoints, ext_threshold=ext_threshold)
+                num_keypoints=num_keypoints, ext_threshold=ext_threshold,
+                # eval-only int8 RoI pooling table (BASELINE.md round-3
+                # eval attribution: the gather is the bandwidth floor)
+                int8_roi_pool=bool(params_cfg.get("int8_roi_pool", False)))
 
 
 def init_model(model: RCNN, seed: int = 0):

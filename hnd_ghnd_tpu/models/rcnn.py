@@ -48,7 +48,8 @@ class RCNN:
                  num_classes: int = 91, bottleneck: Optional[Bottleneck4LargeResNet] = None,
                  num_keypoints: int = 17,
                  rpn_cfg: Optional[RPNConfig] = None,
-                 ext_threshold: Optional[float] = None):
+                 ext_threshold: Optional[float] = None,
+                 int8_roi_pool: bool = False):
         assert kind in ("faster_rcnn", "mask_rcnn", "keypoint_rcnn")
         self.kind = kind
         self.body = ResNetBody(backbone_name, injected_layer1=bottleneck)
@@ -59,6 +60,7 @@ class RCNN:
             with_mask=(kind == "mask_rcnn"),
             with_keypoint=(kind == "keypoint_rcnn"),
             num_keypoints=num_keypoints,
+            int8_pool=int8_roi_pool,
         )
         self.roi_heads = RoIHeads(roi_cfg)
         self.ext_threshold = ext_threshold

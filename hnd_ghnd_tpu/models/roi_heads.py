@@ -49,6 +49,10 @@ class RoIConfig(NamedTuple):
     num_keypoints: int = 17
     with_mask: bool = False
     with_keypoint: bool = False
+    # eval-only int8 pooling table (model params `int8_roi_pool`): halves
+    # the RoIAlign gather bytes — the eval-path bandwidth floor — at the
+    # cost of int8 feature precision in the pooled tensors
+    int8_pool: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -205,9 +209,10 @@ class RoIHeads:
         # Pool + box head over the WHOLE batch flat: one large gather and
         # one [B*R, ...] matmul instead of B vmapped small ones (the gather
         # is the eval-path bottleneck; see ops/roi_align.py)
+        quant = "int8" if cfg.int8_pool else None
         pooled = multiscale_roi_align_batch(
             feats[:4], proposals, image_shape, cfg.box_pool_size,
-            boxes_valid=prop_valid)  # [B, R, P, P, C]
+            boxes_valid=prop_valid, quant=quant)  # [B, R, P, P, C]
         rep = self.box_head.apply(
             params["box_head"], pooled.reshape((b * r,) + pooled.shape[2:]))
         flat_cls, flat_deltas = self.box_predictor.apply(
@@ -260,7 +265,7 @@ class RoIHeads:
         if self.mask_head is not None:
             pooled = multiscale_roi_align_batch(
                 feats[:4], det_boxes, image_shape, self.cfg.mask_pool_size,
-                boxes_valid=det_valid)
+                boxes_valid=det_valid, quant=quant)
             logits = self.mask_head.apply(
                 params["mask_head"],
                 pooled.reshape((b * d,) + pooled.shape[2:]))
@@ -273,7 +278,8 @@ class RoIHeads:
         if self.keypoint_head is not None:
             pooled = multiscale_roi_align_batch(
                 feats[:4], det_boxes, image_shape,
-                self.cfg.keypoint_pool_size, boxes_valid=det_valid)
+                self.cfg.keypoint_pool_size, boxes_valid=det_valid,
+                quant=quant)
             kp_logits = self.keypoint_head.apply(
                 params["keypoint_head"],
                 pooled.reshape((b * d,) + pooled.shape[2:]))

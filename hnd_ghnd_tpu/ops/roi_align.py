@@ -87,17 +87,23 @@ def _level_geometry(features: Sequence[jnp.ndarray],
 
 def _roi_align_flat(table: jnp.ndarray, geometry, boxes: jnp.ndarray,
                     row_offset: jnp.ndarray | None, output_size: int,
-                    sampling_ratio: int) -> jnp.ndarray:
+                    sampling_ratio: int,
+                    table_scale: jnp.ndarray | None = None,
+                    out_dtype=None) -> jnp.ndarray:
     """Core fixed-shape RoIAlign: one big 4-corner gather over a flattened
     [rows, C] feature table.
 
     boxes: [M, 4]; row_offset: optional extra per-RoI base row (the image
     offset when the table concatenates a whole batch).  Returns
     [M, out, out, C].
+
+    ``table_scale``: when the table is int8-quantized (per-level symmetric),
+    the [L] dequantization scales — folded into the bilinear weights, so the
+    int8 path costs no extra passes (see multiscale_roi_align_batch).
     """
     heights, widths, scales, offsets = geometry
     c = table.shape[-1]
-    dtype = table.dtype
+    dtype = out_dtype if out_dtype is not None else table.dtype
 
     lvl = assign_levels(boxes)  # [M]
     lvl_scale = jnp.asarray(scales)[lvl]
@@ -142,6 +148,10 @@ def _roi_align_flat(table: jnp.ndarray, geometry, boxes: jnp.ndarray,
     ok_y = y_ok.astype(jnp.float32)
     ok_x = x_ok.astype(jnp.float32)
     inv = 1.0 / float(s * s)
+    if table_scale is not None:
+        # fold the per-RoI dequant scale into the sample-mean factor
+        deq = jnp.asarray(table_scale, jnp.float32)[lvl]  # [M]
+        inv = inv * deq[:, None, None]
     w_stride = lvl_w.astype(jnp.int32)[:, None, None]
     base2 = lvl_off[:, None, None]
 
@@ -156,7 +166,7 @@ def _roi_align_flat(table: jnp.ndarray, geometry, boxes: jnp.ndarray,
                     idx = (base2 + yi_s[:, :, None] * w_stride
                            + xi_s[:, None, :])  # [M, out, out]
                     vals = jnp.take(table, idx.reshape(-1), axis=0)
-                    vals = vals.reshape(idx.shape + (c,))
+                    vals = vals.reshape(idx.shape + (c,)).astype(dtype)
                     w = ((wy_s * oky)[:, :, None]
                          * (wx_s * okx)[:, None, :] * inv)
                     contrib = vals * w.astype(dtype)[..., None]
@@ -195,6 +205,7 @@ def multiscale_roi_align_batch(
     output_size: int,
     sampling_ratio: int = 2,
     boxes_valid: jnp.ndarray | None = None,
+    quant: str | None = None,
 ) -> jnp.ndarray:
     """Batched RoIAlign: features [B, Hl, Wl, C] per level, boxes [B, N, 4].
 
@@ -209,7 +220,26 @@ def multiscale_roi_align_batch(
     """
     b, n = boxes.shape[:2]
     c = features[0].shape[-1]
+    out_dtype = features[0].dtype
     geometry = _level_geometry(features, image_size)
+    table_scale = None
+    if quant == "int8":
+        # Opt-in eval-only lever (config model params `int8_roi_pool`):
+        # quantize each level symmetrically to int8 (one streamed pass),
+        # halving the gather bytes of the eval-path bottleneck (the XLA
+        # row-gather floor, BASELINE.md round-3 attribution).  The per-level
+        # dequant scale folds into the bilinear weights for free.
+        qfeats, lvl_scales = [], []
+        for f in features:
+            amax = jnp.max(jnp.abs(f.astype(jnp.float32)))
+            s = jnp.where(amax > 0, amax / 127.0, 1.0)
+            qfeats.append(jnp.clip(jnp.round(f.astype(jnp.float32) / s),
+                                   -127, 127).astype(jnp.int8))
+            lvl_scales.append(s)
+        features = qfeats
+        table_scale = jnp.stack(lvl_scales)
+    elif quant is not None:
+        raise ValueError(f"unknown roi-pool quant mode `{quant}`")
     # [B, HW, C] -> [B*HW, C]; per-image rows offset by i*HW
     tables = jnp.concatenate(
         [f.reshape(b, -1, c) for f in features], axis=1)
@@ -218,7 +248,8 @@ def multiscale_roi_align_batch(
     flat_boxes = boxes.reshape(-1, 4)
     img_off = jnp.repeat(jnp.arange(b, dtype=jnp.int32) * hw, n)
     out = _roi_align_flat(table, geometry, flat_boxes, img_off, output_size,
-                          sampling_ratio)
+                          sampling_ratio, table_scale=table_scale,
+                          out_dtype=out_dtype)
     out = out.reshape(b, n, output_size, output_size, c)
     if boxes_valid is not None:
         out = out * boxes_valid.astype(out.dtype)[:, :, None, None, None]

@@ -200,3 +200,59 @@ class TestBatchFlatRoIAlign:
             f, b, image_size, 7, boxes_valid=v))(list(feats), boxes, valid)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestInt8RoiPool:
+    """Opt-in int8 pooling table (ops/roi_align.py quant='int8'): halves the
+    eval gather bytes; pooled features must track the fp path closely and
+    the gathered table must actually be int8."""
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        feats = [jnp.asarray(rng.randn(2, 24 // s, 32 // s, 16)
+                             .astype(np.float32))
+                 for s in (1, 2, 4, 8)]
+        boxes = rng.rand(2, 8, 4).astype(np.float32) * 40
+        boxes[..., 2:] += boxes[..., :2] + 8
+        return feats, jnp.asarray(boxes)
+
+    def test_tracks_fp_pooling(self):
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.ops.roi_align import multiscale_roi_align_batch
+        feats, boxes = self._setup()
+        fp = np.asarray(multiscale_roi_align_batch(
+            feats, boxes, (96, 128), 7))
+        q8 = np.asarray(multiscale_roi_align_batch(
+            feats, boxes, (96, 128), 7, quant="int8"))
+        assert q8.dtype == fp.dtype
+        # int8 per-level symmetric: elementwise error bounded by ~1 step
+        amax = max(float(jnp.max(jnp.abs(f))) for f in feats)
+        assert np.max(np.abs(fp - q8)) < 2.5 * amax / 127.0
+        denom = np.linalg.norm(fp) * np.linalg.norm(q8)
+        cos = float(fp.ravel() @ q8.ravel() / denom)
+        assert cos > 0.999, cos
+
+    def test_gather_operand_is_int8(self):
+        import jax
+        from hnd_ghnd_tpu.ops.roi_align import multiscale_roi_align_batch
+        feats, boxes = self._setup()
+        jaxpr = str(jax.make_jaxpr(
+            lambda f, b: multiscale_roi_align_batch(f, b, (96, 128), 7,
+                                                    quant="int8"))(feats,
+                                                                   boxes))
+        assert "i8[" in jaxpr  # the table fed to the gathers is int8
+
+    def test_model_flag_plumbing(self):
+        from hnd_ghnd_tpu.models.factory import build_model
+        m = build_model({
+            "name": "faster_rcnn",
+            "backbone": {"name": "resnet50", "params": {"pretrained": False}},
+            "params": {"num_classes": 5, "int8_roi_pool": True}})
+        assert m.roi_heads.cfg.int8_pool
+        m2 = build_model({
+            "name": "faster_rcnn",
+            "backbone": {"name": "resnet50", "params": {"pretrained": False}},
+            "params": {"num_classes": 5}})
+        assert not m2.roi_heads.cfg.int8_pool
