@@ -138,6 +138,15 @@ def main():
 
     t_pool = chain_time("roi_align_gather", pool_fn, (fpn_feats, proposals),
                         args.iters)
+
+    def pool_fn_int8(feats, props):
+        return multiscale_roi_align_batch(
+            feats[:4], props, image_shape,
+            model.roi_heads.cfg.box_pool_size, boxes_valid=prop_valid,
+            quant="int8")
+
+    chain_time("roi_align_gather_int8", pool_fn_int8,
+               (fpn_feats, proposals), args.iters)
     pooled = jax.block_until_ready(jax.jit(pool_fn)(fpn_feats, proposals))
     r = proposals.shape[1]
 
