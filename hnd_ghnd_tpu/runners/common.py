@@ -158,7 +158,12 @@ def evaluate(model, params, state, loader: DetectionLoader,
     device per process, main_util.py:75-113).
 
     ``jits``: pass a runner-scope JitCache to reuse compiled eval programs
-    across epochs (otherwise each call recompiles every bucket shape)."""
+    across epochs (otherwise each call recompiles every bucket shape).
+
+    Timing semantics: the loop is a lag-1 pipeline, so ``model_time`` is
+    the dispatch cost of a batch and ``evaluator_time`` is the host-side
+    accumulation of the PREVIOUS batch (overlapped with device compute);
+    wall-clock throughput is the meaningful total."""
     evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
     if jits is None:
         jits = JitCache(model)
@@ -169,6 +174,24 @@ def evaluate(model, params, state, loader: DetectionLoader,
         from hnd_ghnd_tpu.parallel.mesh import put_batch, replicate
         params = replicate(params, mesh)
         state = replicate(state, mesh)
+
+    def accumulate_batch(dets_dev, host_targets, image_sizes):
+        dets = jax.device_get(dets_dev)
+        dets = {k: np.asarray(v) for k, v in dets.items()}
+        preds = {}
+        for i, tgt in enumerate(host_targets):
+            if tgt.get("is_padding"):
+                continue
+            preds[tgt["image_id"]] = finalize_predictions(
+                dets, i, tuple(tgt["original_size"]),
+                (int(image_sizes[i][0]), int(image_sizes[i][1])))
+        evaluator.update(preds)
+
+    # lag-1 pipeline: batch k's detections start an async device->host copy
+    # at dispatch time and are accumulated while batch k+1 runs on device —
+    # the loop never blocks on the batch it just dispatched (the reference
+    # serializes model fwd and evaluator per image, main_util.py:91-102)
+    pending = None
     for batch, _, host_targets in logger.log_every(loader, log_freq, "Eval:"):
         shape = batch["images"].shape
         fwd = jits.eval_forward(shape, use_bottleneck_transformer)
@@ -176,21 +199,18 @@ def evaluate(model, params, state, loader: DetectionLoader,
         arrs = {k: jax.numpy.asarray(v) for k, v in batch.items()}
         if shard and shape[0] % mesh.devices.size == 0:
             arrs = put_batch(arrs, mesh)
-        dets = fwd(params, state, arrs)
-        dets = {k: np.asarray(v) for k, v in dets.items()}
+        dets_dev = fwd(params, state, arrs)
+        for leaf in jax.tree_util.tree_leaves(dets_dev):
+            StepMetrics._start_copy(leaf)
         model_time = time.time() - t0
         t0 = time.time()
-        preds = {}
-        for i, tgt in enumerate(host_targets):
-            if tgt.get("is_padding"):
-                continue
-            preds[tgt["image_id"]] = finalize_predictions(
-                dets, i, tuple(tgt["original_size"]),
-                (int(batch["image_sizes"][i][0]),
-                 int(batch["image_sizes"][i][1])))
-        evaluator.update(preds)
+        if pending is not None:
+            accumulate_batch(*pending)
+        pending = (dets_dev, host_targets, np.asarray(batch["image_sizes"]))
         logger.update(model_time=model_time,
                       evaluator_time=time.time() - t0)
+    if pending is not None:
+        accumulate_batch(*pending)
     evaluator.synchronize_between_processes()
     evaluator.accumulate()
     evaluator.summarize()

@@ -23,10 +23,12 @@ def _run_dryrun(extra_env):
     env.pop("XLA_FLAGS", None)
     env.pop("_GRAFT_DRYRUN_SUBPROCESS", None)
     env.update(extra_env)
+    # cold-cache CPU compile of the 8-device GHND step takes ~13 min on a
+    # loaded 1-core host (warm .jax_cache: ~3 min) — budget the cold case
     return subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1800)
 
 
 @pytest.mark.slow
