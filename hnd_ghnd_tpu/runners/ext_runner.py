@@ -121,7 +121,15 @@ def collect_probs(model, params, state, loader, keypoint_task: bool,
                 continue
             probs.append(float(pr[i, 1]))
             labels.append(host_target_to_ext_label(tgt, keypoint_task))
-    return np.asarray(probs), np.asarray(labels)
+    probs_np, labels_np = np.asarray(probs), np.asarray(labels)
+    # multi-process: each process scored only its eval shard — merge so
+    # ROC-AUC (and the best-ckpt gating it drives) agrees on every process,
+    # matching the reference where every rank evaluates the full val set
+    if multihost.get_world_size() > 1:
+        gathered = multihost.all_gather_objects((probs_np, labels_np))
+        probs_np = np.concatenate([g[0] for g in gathered])
+        labels_np = np.concatenate([g[1] for g in gathered])
+    return probs_np, labels_np
 
 
 def summarize_cls(probs, labels, threshold=0.5):
