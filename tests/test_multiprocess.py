@@ -171,3 +171,100 @@ class TestMeshShardedEval:
                                    ev1.evals["bbox"].stats, atol=1e-6)
         assert (sum(len(v) for v in ev4.evals["bbox"].dts.values())
                 == sum(len(v) for v in ev1.evals["bbox"].dts.values()))
+
+
+EXT_DRIVER = r"""
+import json, sys
+import numpy as np
+from tests.fixtures import make_coco_fixture
+from hnd_ghnd_tpu.parallel import multihost
+from hnd_ghnd_tpu.runners import common
+from hnd_ghnd_tpu.runners import ext_runner
+from hnd_ghnd_tpu.models.factory import get_model
+
+
+class A:
+    coordinator_address = None
+    num_processes = None
+    process_id = None
+
+
+args = A()
+if len(sys.argv) > 2:
+    args.coordinator_address = sys.argv[2]
+    args.num_processes = int(sys.argv[3])
+    args.process_id = int(sys.argv[4])
+multihost.maybe_init_distributed(args)
+
+img_dir, ann_file = make_coco_fixture(sys.argv[1], num_images=8, seed=13,
+                                      num_classes=4, empty_prob=0.4)
+split = {"images": img_dir, "annotations": ann_file,
+         "remove_non_annotated_imgs": False, "jpeg_quality": None}
+config = {
+    "dataset": {"name": "tiny", "num_workers": 2,
+                "splits": {"train": dict(split), "val": dict(split),
+                           "test": dict(split)}},
+    "tpu": {"buckets": [[96, 96]], "min_sizes": [64], "max_size": 96},
+    "test": {"batch_size": 1},
+}
+model_cfg = {
+    "name": "faster_rcnn",
+    "backbone": {"name": "custom_resnet50",
+                 "params": {"pretrained": False,
+                            "layer1": {"name": "Bottleneck4LargeResNet",
+                                       "bottleneck_channel": 3}},
+                 "ext_config": {"threshold": 0.01}},
+    "params": {"num_classes": 5, "pretrained": False}}
+model, params, state = get_model(model_cfg, seed=5)
+_, _, test_loader = common.loaders_from_config(config, model.kind, 1)
+local = sum(1 for _ in test_loader)
+probs, labels = ext_runner.collect_probs(model, params, state, test_loader,
+                                         keypoint_task=False)
+out = {
+    "rank": multihost.get_rank(),
+    "world": multihost.get_world_size(),
+    "local_batches": local,
+    "n": int(len(probs)),
+    "prob_sum": float(np.sort(probs).sum()),
+    "labels_sorted": sorted(int(x) for x in labels),
+}
+sys.stdout.write("RESULT " + json.dumps(out) + "\n")
+sys.stdout.flush()
+"""
+
+
+class TestTwoProcessExtEvalMerge:
+    def test_ext_probs_merge_across_processes(self, tmp_path):
+        """collect_probs must yield the FULL (probs, labels) set on every
+        process (the reference evaluates the full val set on every rank),
+        so ROC-AUC-driven checkpoint gating agrees everywhere."""
+        import subprocess
+
+        def run(extra_argv, fixture_root):
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           os.path.join(REPO, ".jax_cache"))
+            return subprocess.Popen(
+                [sys.executable, "-c", EXT_DRIVER, fixture_root] + extra_argv,
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True)
+
+        single = _result(run([], str(tmp_path / "fx_s")))
+        assert single["world"] == 1 and single["n"] == 8
+
+        port = _free_port()
+        addr = f"127.0.0.1:{port}"
+        p0 = run([addr, "2", "0"], str(tmp_path / "fx0"))
+        p1 = run([addr, "2", "1"], str(tmp_path / "fx1"))
+        r0 = _result(p0)
+        r1 = _result(p1)
+        for r in (r0, r1):
+            assert r["world"] == 2
+            assert r["local_batches"] == 4   # sharded eval...
+            assert r["n"] == 8               # ...but merged result set
+            assert r["labels_sorted"] == single["labels_sorted"]
+            np.testing.assert_allclose(r["prob_sum"], single["prob_sum"],
+                                       rtol=1e-5)
