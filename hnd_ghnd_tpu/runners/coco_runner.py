@@ -105,9 +105,7 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
             rng, key = jax.random.split(rng)
             loss, loss_dict, params, state, opt_state = step(
                 params, state, opt_state,
-                put_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh),
-                put_batch({k: jnp.asarray(v) for k, v in targets.items()}, mesh),
-                key)
+                put_batch(batch, mesh), put_batch(targets, mesh), key)
             global_step += 1
             log_entry(logger, metrics.push(global_step, loss, loss_dict))
         for entry in metrics.drain():

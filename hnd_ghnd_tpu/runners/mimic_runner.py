@@ -119,10 +119,12 @@ def distill(teacher_pack, student_pack, config, args, mesh,
             rng, key = jax.random.split(rng)
             if profile_dir and profile_steps == 2:  # skip compile steps
                 jax.profiler.start_trace(profile_dir)
+            # batch stays host-side numpy: put_batch device_puts it
+            # with the right sharding directly (a jnp.asarray here would
+            # cost an extra device->host hop in multi-process runs)
             loss, loss_dict, s_params, s_state, opt_state = step(
                 t_params, t_state, s_params, s_state, opt_state,
-                put_batch({k: jnp.asarray(v) for k, v in batch.items()},
-                          mesh), key)
+                put_batch(batch, mesh), key)
             global_step += 1
             log_entry(logger, metrics.push(global_step, loss, loss_dict))
             if profile_dir:
