@@ -153,3 +153,40 @@ class TestInt8Accuracy:
         for k in d_fp:
             assert d_fp[k].shape == d_q8[k].shape, k
         assert np.isfinite(d_q8["scores"]).all()
+
+
+class TestInt8TailMaskFamily:
+    @pytest.mark.slow  # compiles the mask-RCNN tail
+    def test_mask_rcnn_int8_tail_end_to_end(self):
+        """The int8 tail generalizes across detector families: the trunk
+        fold is family-independent and the fp heads (incl. mask) consume
+        the dequantized stage outputs unchanged."""
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.split import int8 as qi
+        from hnd_ghnd_tpu.split.deploy import SplitRCNN
+
+        cfg = {
+            "name": "mask_rcnn",
+            "backbone": {"name": "custom_resnet50",
+                         "params": {"pretrained": False,
+                                    "layer1": {
+                                        "name": "Bottleneck4LargeResNet",
+                                        "bottleneck_channel": 3}}},
+            "params": {"num_classes": 5, "pretrained": False},
+        }
+        model, params, state = get_model(cfg, seed=1)
+        rng = np.random.RandomState(3)
+        images = rng.rand(1, 64, 64, 3).astype(np.float32)
+        scales = qi.calibrate_from_images(model, params, state, [images])
+
+        split = SplitRCNN(model, 8)
+        head_jit, _, _ = split.build(params, state)
+        q, s, zp, _ = head_jit(jnp.asarray(images))
+        sizes = np.asarray([[64, 64]], np.int32)
+        tail = qi.Int8SplitTail(model, params, state, scales).build()
+        dets = {k: np.asarray(v)
+                for k, v in tail(q, s, zp, sizes, (64, 64)).items()}
+        assert "mask_probs" in dets
+        assert dets["mask_probs"].shape[-2:] == (28, 28)
+        assert np.isfinite(dets["mask_probs"]).all()
+        assert np.isfinite(dets["scores"]).all()
