@@ -190,3 +190,37 @@ class TestInt8TailMaskFamily:
         assert dets["mask_probs"].shape[-2:] == (28, 28)
         assert np.isfinite(dets["mask_probs"]).all()
         assert np.isfinite(dets["scores"]).all()
+
+
+class TestInt8TailKeypointFamily:
+    @pytest.mark.slow  # compiles the keypoint-RCNN tail
+    def test_keypoint_rcnn_int8_tail_end_to_end(self):
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.split import int8 as qi
+        from hnd_ghnd_tpu.split.deploy import SplitRCNN
+
+        cfg = {
+            "name": "keypoint_rcnn",
+            "backbone": {"name": "custom_resnet50",
+                         "params": {"pretrained": False,
+                                    "layer1": {
+                                        "name": "Bottleneck4LargeResNet",
+                                        "bottleneck_channel": 3}}},
+            "params": {"num_classes": 2, "num_keypoints": 17,
+                       "pretrained": False},
+        }
+        model, params, state = get_model(cfg, seed=2)
+        rng = np.random.RandomState(4)
+        images = rng.rand(1, 64, 64, 3).astype(np.float32)
+        scales = qi.calibrate_from_images(model, params, state, [images])
+
+        split = SplitRCNN(model, 8)
+        head_jit, _, _ = split.build(params, state)
+        q, s, zp, _ = head_jit(jnp.asarray(images))
+        sizes = np.asarray([[64, 64]], np.int32)
+        tail = qi.Int8SplitTail(model, params, state, scales).build()
+        dets = {k: np.asarray(v)
+                for k, v in tail(q, s, zp, sizes, (64, 64)).items()}
+        assert "keypoint_logits" in dets
+        assert dets["keypoint_logits"].shape[-3:-1] == (56, 56)
+        assert np.isfinite(dets["keypoint_logits"]).all()

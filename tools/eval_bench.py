@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--hw", default="832,1344")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--int8_pool", action="store_true",
+                    help="measure with the opt-in int8 RoI pooling table "
+                         "(model params int8_roi_pool)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
     b = args.batch
@@ -72,7 +75,10 @@ def main():
     import __graft_entry__ as ge
     from hnd_ghnd_tpu.models.factory import build_model
 
-    model = build_model(ge._student_config())
+    cfg = ge._student_config()
+    if args.int8_pool:
+        cfg = dict(cfg, params=dict(cfg["params"], int8_roi_pool=True))
+    model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16
 
