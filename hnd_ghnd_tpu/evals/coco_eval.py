@@ -203,8 +203,8 @@ class COCOEvalNP:
     # ------------------------------------------------------------ evaluate
     def _iou(self, img_id: int, cat_id: int) -> dict:
         """Precompute the per-(image, category) eval record once: IoU matrix
-        plus the numpy columns every area range re-reads (areas, scores,
-        base-ignore flags).  _evaluate_img is called 3-4x per record, so
+        plus the numpy columns the vectorized per-category accumulate loop
+        re-reads for every area range (areas, scores, base-ignore flags) —
         hoisting the dict->array conversion here is the val2017-scale win."""
         gts = self.gts.get((img_id, cat_id), [])
         dts = sorted(self.dts.get((img_id, cat_id), []),

@@ -27,7 +27,8 @@ from hnd_ghnd_tpu.models.rpn import (_balanced_sample, _bce_logits,
 from hnd_ghnd_tpu.ops import boxes as box_ops
 from hnd_ghnd_tpu.ops import nms as nms_ops
 from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
-                                        multiscale_roi_align_batch)
+                                        multiscale_roi_align_batch,
+                                        quantize_fpn_levels)
 
 Params = Dict[str, Any]
 
@@ -208,8 +209,11 @@ class RoIHeads:
 
         # Pool + box head over the WHOLE batch flat: one large gather and
         # one [B*R, ...] matmul instead of B vmapped small ones (the gather
-        # is the eval-path bottleneck; see ops/roi_align.py)
-        quant = "int8" if cfg.int8_pool else None
+        # is the eval-path bottleneck; see ops/roi_align.py).  With int8
+        # pooling, quantize the levels ONCE here and share the tables across
+        # the box/mask/keypoint pooling calls — requantizing per call costs
+        # a full feature-map pass each time.
+        quant = quantize_fpn_levels(feats[:4]) if cfg.int8_pool else None
         pooled = multiscale_roi_align_batch(
             feats[:4], proposals, image_shape, cfg.box_pool_size,
             boxes_valid=prop_valid, quant=quant)  # [B, R, P, P, C]

@@ -198,6 +198,25 @@ def multiscale_roi_align(
     return out
 
 
+def quantize_fpn_levels(features: Sequence[jnp.ndarray]):
+    """Symmetric per-level int8 quantization of FPN feature maps.
+
+    Returns ``(qfeats, level_scales)`` suitable for
+    ``multiscale_roi_align_batch(..., quant=(qfeats, level_scales))`` —
+    callers pooling the same levels more than once per step (box + mask +
+    keypoint heads) quantize once and share the tables instead of paying a
+    full feature-map pass per pooling call.
+    """
+    qfeats, lvl_scales = [], []
+    for f in features:
+        amax = jnp.max(jnp.abs(f.astype(jnp.float32)))
+        s = jnp.where(amax > 0, amax / 127.0, 1.0)
+        qfeats.append(jnp.clip(jnp.round(f.astype(jnp.float32) / s),
+                               -127, 127).astype(jnp.int8))
+        lvl_scales.append(s)
+    return qfeats, jnp.stack(lvl_scales)
+
+
 def multiscale_roi_align_batch(
     features: Sequence[jnp.ndarray],
     boxes: jnp.ndarray,
@@ -205,7 +224,7 @@ def multiscale_roi_align_batch(
     output_size: int,
     sampling_ratio: int = 2,
     boxes_valid: jnp.ndarray | None = None,
-    quant: str | None = None,
+    quant: str | tuple | None = None,
 ) -> jnp.ndarray:
     """Batched RoIAlign: features [B, Hl, Wl, C] per level, boxes [B, N, 4].
 
@@ -229,15 +248,11 @@ def multiscale_roi_align_batch(
         # halving the gather bytes of the eval-path bottleneck (the XLA
         # row-gather floor, BASELINE.md round-3 attribution).  The per-level
         # dequant scale folds into the bilinear weights for free.
-        qfeats, lvl_scales = [], []
-        for f in features:
-            amax = jnp.max(jnp.abs(f.astype(jnp.float32)))
-            s = jnp.where(amax > 0, amax / 127.0, 1.0)
-            qfeats.append(jnp.clip(jnp.round(f.astype(jnp.float32) / s),
-                                   -127, 127).astype(jnp.int8))
-            lvl_scales.append(s)
-        features = qfeats
-        table_scale = jnp.stack(lvl_scales)
+        features, table_scale = quantize_fpn_levels(features)
+    elif isinstance(quant, tuple):
+        # prequantized (qfeats, level_scales) from quantize_fpn_levels —
+        # shared across the box/mask/keypoint pooling calls of one step
+        features, table_scale = quant
     elif quant is not None:
         raise ValueError(f"unknown roi-pool quant mode `{quant}`")
     # [B, HW, C] -> [B*HW, C]; per-image rows offset by i*HW

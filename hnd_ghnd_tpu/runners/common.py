@@ -134,13 +134,20 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
     Every runner calls this at startup so the 60-80 s eval-forward /
     multi-minute train-step TPU compiles are paid once per (program, shape)
     across *runs*, not per process (the dryrun subprocess already did this
-    via JAX_COMPILATION_CACHE_DIR; the runners did not).  Honors an
-    existing JAX_COMPILATION_CACHE_DIR; defaults to .jax_cache in cwd."""
+    via JAX_COMPILATION_CACHE_DIR; the runners did not).  Honors existing
+    JAX_COMPILATION_CACHE_DIR / JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS;
+    defaults to ~/.cache/hnd_ghnd_tpu/jax_cache."""
     import os
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "hnd_ghnd_tpu",
+                     "jax_cache"))
+    min_secs = float(os.environ.get(
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", 2))
     try:
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
     except Exception as exc:  # backend without executable serialization
         print(f"persistent compilation cache unavailable: {exc}")
 

@@ -92,8 +92,23 @@ def _save_orbax(path: str, payload: Dict[str, Any]) -> None:
     _remove_any(old)
 
 
+def _recover_old(path: str) -> bool:
+    """Promote ``path + '.old'`` back to ``path`` if the swap was cut short.
+
+    The two-rename orbax swap leaves a window where the previous checkpoint
+    exists only at ``.old``; callers that find ``path`` missing recover it.
+    """
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def load_ckpt(path: str) -> Dict[str, Any]:
     """Load either checkpoint format (auto-detected: dir => orbax)."""
+    if not os.path.exists(path):
+        _recover_old(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
@@ -111,4 +126,8 @@ def load_ckpt(path: str) -> Dict[str, Any]:
 
 
 def check_if_exists(path: Optional[str]) -> bool:
-    return path is not None and os.path.exists(path)
+    if path is None:
+        return False
+    if not os.path.exists(path):
+        _recover_old(path)
+    return os.path.exists(path)

@@ -32,6 +32,7 @@ def _run_dryrun(extra_env):
 
 
 @pytest.mark.slow
+@pytest.mark.rendezvous
 def test_dryrun_multichip_default_env():
     """Exactly the driver's invocation: default container env, n=8."""
     proc = _run_dryrun({})
@@ -50,6 +51,11 @@ def test_dryrun_multichip_preinitialized_jax_falls_back():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("_GRAFT_DRYRUN_SUBPROCESS", None)
+    # Without this pop, `import jax` in the stub subprocess still dials the
+    # tunneled TPU plugin (sitecustomize registers it off this variable) and
+    # hangs for the full timeout whenever the tunnel is wedged — the product
+    # code pops it too (__graft_entry__._dryrun_in_subprocess).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     code = (
         "import jax; jax.devices()\n"                 # pre-initialize: 1 dev

@@ -22,7 +22,7 @@ import sys
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.rendezvous]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -39,16 +39,22 @@ class TestMetricLogger:
 
 
 class TestStepTimer:
-    def test_skips_compile_step(self):
+    def test_skips_compile_step(self, monkeypatch):
+        # Fake clock: wall-clock sleeps lost races on the loaded 1-core host
+        # (round-3 judging flake), so drive perf_counter deterministically.
+        now = [0.0]
+        monkeypatch.setattr("hnd_ghnd_tpu.utils.profiling.time.perf_counter",
+                            lambda: now[0])
         t = StepTimer(skip_first=1)
         for d in (0.2, 0.01, 0.01):
             t.start()
-            time.sleep(d)
+            now[0] += d
             t.stop()
         s = t.summary()
         assert s["steps"] == 2
-        # load-independent: the kept steps' mean must undercut the excluded
-        # first ("compile") step
+        assert s["mean_s"] == pytest.approx(0.01)
+        # the kept steps' mean must undercut the excluded first ("compile")
+        # step
         assert s["mean_s"] < t.times[0]
 
     def test_trace_noop_without_dir(self):
