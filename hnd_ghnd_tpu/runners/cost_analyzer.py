@@ -36,12 +36,26 @@ def get_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Cost analyzer")
     common.add_common_args(parser)
     parser.add_argument("--model_params", action="store_true")
-    parser.add_argument("--data_size", action="store_true")
-    parser.add_argument("--bottleneck_size", action="store_true")
-    parser.add_argument("--split_model", action="store_true")
-    parser.add_argument("--quantization", type=int, default=8,
+    parser.add_argument("--modules", nargs="+", default=None,
+                        help="dotted module paths to count parameters for "
+                             "(reference --modules, src/cost_analyzer.py:28)")
+    # The three analysis selectors take a dataset split name like the
+    # reference (src/cost_analyzer.py:29-33); bare flag = the test split
+    # (backward compatible with the earlier store_true surface).
+    parser.add_argument("--data_size", nargs="?", const="test", default=None,
+                        help="dataset split name to analyze data size")
+    parser.add_argument("--bottleneck_size", nargs="?", const="test",
+                        default=None,
+                        help="dataset split name to analyze bottleneck size")
+    parser.add_argument("--split_model", nargs="?", const="test",
+                        default=None,
+                        help="dataset split name to measure split inference")
+    parser.add_argument("--quantization", "--quantize", type=int, default=8,
                         help="wire bits for --split_model / --bottleneck_size"
                              " (8 or 16; <=0 disables)")
+    parser.add_argument("-skip_tail", action="store_true",
+                        help="skip measuring inference time for tail model "
+                             "(reference -skip_tail)")
     parser.add_argument("--int8_tail", action="store_true",
                         help="with --split_model: also run the int8 server "
                              "tail (integer trunk weights+activations, "
@@ -70,12 +84,25 @@ def summarize_data_sizes(sizes_kb: List[float], label: str) -> None:
     print("  " + row)
 
 
-def analyze_model_params(model, params) -> None:
+def analyze_model_params(model, params,
+                         module_paths: Optional[List[str]] = None) -> None:
     print("parameter counts:")
     total = count_params(params)
     for module in ("backbone", "rpn", "roi_heads"):
         print(f"  {module}: {count_params(params[module]):,}")
     print(f"  total: {total:,}")
+    if module_paths:
+        # reference --modules table (src/cost_analyzer.py:44-53): per-path
+        # parameter counts plus their sum; the params tree mirrors the
+        # reference's torch module paths (backbone.body.layer1, ...)
+        from hnd_ghnd_tpu.utils.params import get_by_path
+        print("[Specified module(s)]")
+        subtotal = 0
+        for path in module_paths:
+            n = count_params(get_by_path(params, path))
+            subtotal += n
+            print(f"  {path}: {n:,}")
+        print(f"  Total # parameters: {subtotal:,}")
     if model.bottleneck is not None:
         from hnd_ghnd_tpu.split.deploy import (_split_head_params,
                                                _split_tail_params)
@@ -195,7 +222,8 @@ def analyze_split_model_inference(model, params, state, loader, quant_bits,
                                   max_images: Optional[int],
                                   ext_threshold: Optional[float],
                                   int8_tail: bool = False,
-                                  calib_images: int = 8) -> None:
+                                  calib_images: int = 8,
+                                  skip_tail: bool = False) -> None:
     split = SplitRCNN(model, quant_bits if quant_bits > 0 else None)
     head_jit, tail_call, _ = split.build(params, state)
     evaluator = CocoEvaluator(loader.dataset, get_iou_types(model))
@@ -246,6 +274,11 @@ def analyze_split_model_inference(model, params, state, loader, quant_bits,
                 seen += 1
                 continue
             wire_kb.append(len(wire) / 1024.0)
+            if skip_tail:
+                # reference -skip_tail (src/cost_analyzer.py:34, :104-113):
+                # head latency + wire payload only
+                seen += 1
+                continue
             orig = tuple(tgt["original_size"])
             valid = (int(batch["image_sizes"][i][0]),
                      int(batch["image_sizes"][i][1]))
@@ -271,6 +304,8 @@ def analyze_split_model_inference(model, params, state, loader, quant_bits,
             print(f"{name} latency: {arr.mean() * 1000:.2f} ± "
                   f"{arr.std() * 1000:.2f} ms")
     summarize_data_sizes(wire_kb, "wire payload")
+    if skip_tail:
+        return
     evaluator.accumulate()
     stats = evaluator.summarize()
     if int8_evaluator is not None:
@@ -292,28 +327,42 @@ def main(args):
         payload = ckpt_util.load_ckpt(model_cfg["ckpt"])
         params = payload["params"]
         state = payload["state"] or state
-    _, _, test_loader = common.loaders_from_config(config, model.kind, 1)
+    loaders = dict(zip(("train", "val", "test"),
+                       common.loaders_from_config(config, model.kind, 1)))
+
+    def loader_for(split_name):
+        if not isinstance(split_name, str):  # legacy boolean flag surface
+            split_name = "test"
+        if split_name not in loaders:
+            raise SystemExit(f"unknown dataset split `{split_name}` "
+                             f"(have: {sorted(loaders)})")
+        return loaders[split_name]
+
     ext_threshold = (model_cfg["backbone"].get("ext_config") or {}).get(
         "threshold") if model.bottleneck and model.bottleneck.ext else None
 
     if args.model_params:
-        analyze_model_params(model, params)
+        analyze_model_params(model, params, getattr(args, "modules", None))
     if args.data_size:
-        analyze_data_size(test_loader, args.max_images,
+        analyze_data_size(loader_for(args.data_size), args.max_images,
                           resized=getattr(args, "resized", False))
     if args.bottleneck_size:
         assert model.bottleneck is not None, "needs a bottleneck model"
-        analyze_bottleneck_size(model, params, state, test_loader,
+        analyze_bottleneck_size(model, params, state,
+                                loader_for(args.bottleneck_size),
                                 args.quantization, args.max_images)
     if args.split_model:
         assert model.bottleneck is not None, "needs a bottleneck model"
-        analyze_split_model_inference(model, params, state, test_loader,
+        analyze_split_model_inference(model, params, state,
+                                      loader_for(args.split_model),
                                       args.quantization, args.max_images,
                                       ext_threshold,
                                       int8_tail=getattr(args, "int8_tail",
                                                         False),
                                       calib_images=getattr(args,
-                                                           "calib_images", 8))
+                                                           "calib_images", 8),
+                                      skip_tail=getattr(args, "skip_tail",
+                                                        False))
 
 
 def cli():

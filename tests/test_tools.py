@@ -49,6 +49,36 @@ class TestCostAnalyzer:
         assert "int8 tail latency" in out
         assert "int8 tail mAP delta [bbox]" in out
 
+    def test_reference_cli_selectors(self, setup, capsys):
+        """Reference flag semantics (src/cost_analyzer.py:26-34): split names
+        for the analysis selectors, --modules param table, -skip_tail."""
+        from hnd_ghnd_tpu.runners import cost_analyzer
+        cfg_path, img_dir, root = setup
+        args = cost_analyzer.get_argparser().parse_args(
+            ["--config", cfg_path, "--model_params",
+             "--modules", "backbone.body.layer1", "rpn.head",
+             "--data_size", "test", "--split_model", "test", "-skip_tail",
+             "--quantize", "8", "--max_images", "2"])
+        assert args.split_model == "test" and args.skip_tail
+        assert args.quantization == 8
+        cost_analyzer.main(args)
+        out = capsys.readouterr().out
+        assert "[Specified module(s)]" in out
+        assert "backbone.body.layer1:" in out
+        assert "Total # parameters:" in out
+        assert "head latency" in out
+        # -skip_tail: no tail timing, no evaluation
+        assert "tail latency" not in out.replace("head latency", "")
+        assert "mAP" not in out
+
+    def test_bare_selector_flags_still_work(self, setup):
+        from hnd_ghnd_tpu.runners import cost_analyzer
+        args = cost_analyzer.get_argparser().parse_args(
+            ["--config", "x", "--split_model", "--bottleneck_size"])
+        assert args.split_model == "test"
+        assert args.bottleneck_size == "test"
+        assert args.data_size is None
+
 
 class TestVisualizer:
     def test_writes_overlays(self, setup):
