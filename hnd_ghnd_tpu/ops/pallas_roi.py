@@ -1,0 +1,365 @@
+"""Pallas TPU RoIAlign: per-RoI window DMA + MXU bilinear reduction.
+
+Replaces the XLA row-gather formulation of ``ops/roi_align.py`` on the eval
+path (reference op: torchvision's CUDA ``roi_align``,
+/root/reference/src/models/org/rcnn.py:196-199, :261-265).  Round-3
+attribution (BASELINE.md) measured the XLA program at a ~64 ms row-gather
+floor (one 512-byte [C] row per gather element, ~50 GB/s effective) plus a
+~38 ms bilinear-weight multiply that XLA cannot fuse into the gather
+(per-row broadcast weights defeat gather-consumer fusion).  This kernel
+attacks both at once:
+
+* instead of 4*s^2 row gathers per RoI it issues ONE strided window DMA
+  (or 14 strip DMAs, see classes below) per RoI — large contiguous
+  transfers that ride the DMA engines near HBM bandwidth instead of the
+  per-row scatter floor, and
+* the bilinear weighting happens in VMEM: the y-interpolation is an MXU
+  matmul over the window rows, the x-interpolation a static unrolled
+  scalar-weighted lane-slice accumulation — zero extra HBM traffic.
+
+Exactness over arbitrary boxes
+------------------------------
+A fixed window only covers RoIs whose feature-space extent fits it, and FPN
+level assignment (ops/roi_align.py::assign_levels) bounds the extent
+PRODUCT (w_f * h_f < 28^2 for unclamped levels; clamped-up RoIs at P5 are
+bounded by the P5 map, <= 46 per axis for buckets <= 1472 px), not each
+axis — a 1x800 px box lands on P2 with a 200-row extent.  Three DMA
+classes make the kernel exact for every box:
+
+* class A (y-span < 48 and x-span < 48): one [48, 48*C] window DMA.
+  Covers every aspect <= ~3 RoI and ALL clamped-P5 RoIs.
+* class T (tall, x-span < 24): the 2*P*s sample-row corners come as P*s
+  [2, 24*C] strip DMAs (corner rows y_lo, y_lo+1 are consecutive).  The
+  product bound guarantees x-span < 24 whenever y-span >= 48.
+* class W (wide, remainder): P*s [24, 2*C] column-pair strips (bilinear
+  x corners are consecutive columns).  The product bound guarantees
+  y-span < 24 whenever x-span >= 48.
+
+Class selection, window starts, and the two per-RoI weight matrices are
+vectorized XLA prep (one ``one_hot`` scatter per axis); snap/clamp edge
+cases (torchvision's ``low >= size-1`` snap, window clamping at borders)
+fold into fetch-relative weight positions, so the kernel itself is
+branch-free arithmetic per class.  Every scratch window is fully
+overwritten by its class's DMAs before compute touches it — no zero-init,
+no garbage-NaN hazard.
+
+Layout notes (the part Mosaic dictates): each FPN level is reshaped in XLA
+to a 2-D HBM table ``[B*Hl, Wl*C]`` (padded to >= 48 rows/cols per image so
+every window fits), which makes a spatial window a plain 2-D strided slice
+— one ``make_async_copy`` per RoI, no per-row descriptors.  The
+y-contraction then rides the MXU as ``[P, rows] @ [rows, cols*C]`` with
+(x, c) flattened into lanes, and the x-contraction reads static 256-lane
+slices — sidestepping the lane<->sublane reshapes and strided lane slices
+this Mosaic lacks (see ops/pallas_stem.py's negative result).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hnd_ghnd_tpu.ops.roi_align import (_bilinear_params, _level_geometry,
+                                        assign_levels, quantize_fpn_levels)
+
+WIN = 48        # class-A window rows/cols
+TSTRIP = 24     # class-T strip cols / class-W strip rows
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+# --------------------------------------------------------------------- prep
+def _make_tables(features: Sequence[jnp.ndarray]):
+    """Flatten each level to [B*Hlp, Wlp*C], zero-padded to >= WIN per axis
+    (only P5 — and tiny-fixture levels — actually pay a pad copy)."""
+    tables, dims = [], []
+    for f in features:
+        b, h, w, c = f.shape
+        hp, wp = max(WIN, h), max(WIN, w)
+        if hp > h or wp > w:
+            f = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        tables.append(f.reshape(b * hp, wp * c))
+        dims.append((hp, wp))
+    return tables, dims
+
+
+def _prep(features, boxes, image_size, P: int, s: int, boxes_valid,
+          table_scale):
+    """Vectorized XLA prep: per-RoI class, DMA start indices, and the two
+    fetch-relative bilinear weight matrices.
+
+    Returns (idx [M, 4+S] i32, by [M, PP, WB] f32, ax [M, PP*WA] f32,
+    static (S, WB, WA)).
+    """
+    b, n = boxes.shape[:2]
+    m = b * n
+    S = P * s
+    heights, widths, scales, _ = _level_geometry(features, image_size)
+    hp = np.array([max(WIN, f.shape[1]) for f in features], np.int32)
+    wp = np.array([max(WIN, f.shape[2]) for f in features], np.int32)
+
+    WB = max(WIN, 2 * S)          # stage-1 (y) weight width
+    WA = max(WIN, 2 * S)          # stage-2 (x) weight width
+    PP = _pad8(P)
+
+    fb = boxes.reshape(m, 4)
+    lvl = assign_levels(fb)
+    lvl_scale = jnp.asarray(scales)[lvl]
+    lvl_h = jnp.asarray(heights)[lvl]
+    lvl_w = jnp.asarray(widths)[lvl]
+    lvl_hp = jnp.asarray(hp)[lvl]
+    lvl_wp = jnp.asarray(wp)[lvl]
+    b_off = (jnp.arange(m, dtype=jnp.int32) // n) * lvl_hp
+
+    x1 = fb[:, 0] * lvl_scale
+    y1 = fb[:, 1] * lvl_scale
+    roi_w = jnp.maximum(fb[:, 2] * lvl_scale - x1, 1.0)
+    roi_h = jnp.maximum(fb[:, 3] * lvl_scale - y1, 1.0)
+    bin_w = roi_w / P
+    bin_h = roi_h / P
+
+    bins = jnp.arange(P, dtype=jnp.float32)
+    samp = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    # sample index p = bin * s + sx  (flattened [M, S])
+    off = (bins[:, None] + samp[None, :]).reshape(-1)  # [S]
+    ys = y1[:, None] + off[None, :] * bin_h[:, None]
+    xs = x1[:, None] + off[None, :] * bin_w[:, None]
+    y_lo, y_hi, wy_lo, wy_hi, y_ok = _bilinear_params(ys, lvl_h[:, None])
+    x_lo, x_hi, wx_lo, wx_hi, x_ok = _bilinear_params(xs, lvl_w[:, None])
+
+    y_min, y_max = jnp.min(y_lo, 1), jnp.max(y_hi, 1)
+    x_min, x_max = jnp.min(x_lo, 1), jnp.max(x_hi, 1)
+    fits = (y_max - y_min < WIN) & (x_max - x_min < WIN)
+    # exhaustive by the level-assignment product bound: !fits & y-span>=48
+    # implies x-span < 24 (class T); !fits & x-span>=48 implies y-span < 24
+    # (class W); both spans >= 48 is impossible (see module docstring).
+    cls = jnp.where(fits, 0,
+                    jnp.where(x_max - x_min < TSTRIP, 1, 2)).astype(jnp.int32)
+
+    r0_a = jnp.clip(y_min, 0, lvl_hp - WIN)
+    c0_a = jnp.clip(x_min, 0, lvl_wp - WIN)
+    c0_t = jnp.clip(x_min, 0, lvl_wp - TSTRIP)
+    r0_w = jnp.clip(y_min, 0, lvl_hp - TSTRIP)
+    rp_t = jnp.minimum(y_lo, (lvl_hp - 2)[:, None])           # [M, S]
+    cp_w = jnp.minimum(x_lo, (lvl_wp - 2)[:, None])
+
+    row0 = jnp.where(cls == 0, r0_a, jnp.where(cls == 1, 0, r0_w)) + b_off
+    col0 = jnp.where(cls == 0, c0_a, jnp.where(cls == 1, c0_t, 0))
+    pairs = jnp.where(cls[:, None] == 1, b_off[:, None] + rp_t,
+                      jnp.where(cls[:, None] == 2, cp_w, 0))
+    idx = jnp.concatenate(
+        [jnp.stack([cls, lvl, row0, col0], axis=1), pairs],
+        axis=1).astype(jnp.int32)                              # [M, 4+S]
+
+    # fetch-relative weight positions per class
+    p_ar = 2 * jnp.arange(S, dtype=jnp.int32)[None, :]
+    rely_lo = jnp.where(cls[:, None] == 0, y_lo - r0_a[:, None],
+                        jnp.where(cls[:, None] == 1, p_ar + (y_lo - rp_t),
+                                  y_lo - r0_w[:, None]))
+    rely_hi = jnp.where(cls[:, None] == 0, y_hi - r0_a[:, None],
+                        jnp.where(cls[:, None] == 1, p_ar + (y_hi - rp_t),
+                                  y_hi - r0_w[:, None]))
+    relx_lo = jnp.where(cls[:, None] == 2, p_ar + (x_lo - cp_w),
+                        x_lo - col0[:, None])
+    relx_hi = jnp.where(cls[:, None] == 2, p_ar + (x_hi - cp_w),
+                        x_hi - col0[:, None])
+
+    inv = jnp.full((m,), 1.0 / (s * s), jnp.float32)
+    if table_scale is not None:  # int8 tables: fold dequant into stage 1
+        inv = inv * jnp.asarray(table_scale, jnp.float32)[lvl]
+    if boxes_valid is not None:
+        inv = inv * boxes_valid.reshape(m).astype(jnp.float32)
+
+    def scatter(w_lo, w_hi, rel_lo, rel_hi, ok, width, extra):
+        wl = (w_lo * ok)[:, :, None] * jax.nn.one_hot(rel_lo, width,
+                                                      dtype=jnp.float32)
+        wh = (w_hi * ok)[:, :, None] * jax.nn.one_hot(rel_hi, width,
+                                                      dtype=jnp.float32)
+        out = (wl + wh).reshape(m, P, s, width).sum(2)
+        if extra is not None:
+            out = out * extra[:, None, None]
+        return jnp.pad(out, ((0, 0), (0, PP - P), (0, 0)))     # [M, PP, W]
+
+    by = scatter(wy_lo, wy_hi, rely_lo, rely_hi,
+                 y_ok.astype(jnp.float32), WB, inv)
+    ax = scatter(wx_lo, wx_hi, relx_lo, relx_hi,
+                 x_ok.astype(jnp.float32), WA, None).reshape(m, PP * WA)
+    return idx, by, ax, (S, WB, WA, PP)
+
+
+# ------------------------------------------------------------------- kernel
+def _roi_kernel(idx_cur, idx_nxt, ax_ref, by_ref, t0, t1, t2, t3, out_ref,
+                win_a, win_t, win_w, sem_a, sem_t, sem_w,
+                *, P, s, C, S, WB, WA, PP, n_levels, cdt):
+    tables = (t0, t1, t2, t3)[:n_levels]
+    i = pl.program_id(0)
+    m = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nslot = jax.lax.rem(i + 1, 2)
+
+    def run_dmas(idx_ref, sl, start):
+        cls = idx_ref[0, 0]
+        lvl = idx_ref[0, 1]
+
+        def go(dma):
+            dma.start() if start else dma.wait()
+
+        for l in range(n_levels):
+            @pl.when(jnp.logical_and(cls == 0, lvl == l))
+            def _(l=l):
+                r = idx_ref[0, 2]
+                c = idx_ref[0, 3]
+                go(pltpu.make_async_copy(
+                    tables[l].at[pl.ds(r, WIN), pl.ds(c * C, WIN * C)],
+                    win_a.at[sl], sem_a.at[sl]))
+
+            @pl.when(jnp.logical_and(cls == 1, lvl == l))
+            def _(l=l):
+                c = idx_ref[0, 3]
+                for p in range(S):
+                    r = idx_ref[0, 4 + p]
+                    go(pltpu.make_async_copy(
+                        tables[l].at[pl.ds(r, 2), pl.ds(c * C, TSTRIP * C)],
+                        win_t.at[sl, 2 * p:2 * p + 2, :], sem_t.at[sl]))
+
+            @pl.when(jnp.logical_and(cls == 2, lvl == l))
+            def _(l=l):
+                r = idx_ref[0, 2]
+                for p in range(S):
+                    c = idx_ref[0, 4 + p]
+                    go(pltpu.make_async_copy(
+                        tables[l].at[pl.ds(r, TSTRIP), pl.ds(c * C, 2 * C)],
+                        win_w.at[sl, :, 2 * p * C:2 * (p + 1) * C],
+                        sem_w.at[sl]))
+
+    @pl.when(i == 0)
+    def _():
+        run_dmas(idx_cur, 0, True)
+
+    @pl.when(i + 1 < m)
+    def _():
+        run_dmas(idx_nxt, nslot, True)
+
+    run_dmas(idx_cur, slot, False)  # wait for this step's window
+
+    cls = idx_cur[0, 0]
+
+    def x_interp(gy, cols):
+        """out[:, bx*C:(bx+1)*C] = sum_k ax[bx, k] * gy[:, k*C:(k+1)*C]
+        with static lane slices and SMEM scalar weights."""
+        out_cols = []
+        for bx in range(P):
+            acc = None
+            for k in cols(bx):
+                term = ax_ref[0, bx * WA + k] * gy[:, k * C:(k + 1) * C]
+                acc = term if acc is None else acc + term
+            out_cols.append(acc)
+        return jnp.concatenate(out_cols, axis=1)  # [PP, P*C]
+
+    def emit(win_rows, win, cols):
+        by = by_ref[0, :, :win_rows].astype(cdt)
+        gy = jnp.dot(by, win[...].astype(cdt),
+                     preferred_element_type=jnp.float32)
+        out_ref[0] = x_interp(gy, cols).astype(out_ref.dtype)
+
+    @pl.when(cls == 0)
+    def _():
+        emit(WIN, win_a[slot], lambda bx: range(WIN))
+
+    @pl.when(cls == 1)
+    def _():
+        emit(2 * S, win_t[slot], lambda bx: range(TSTRIP))
+
+    @pl.when(cls == 2)
+    def _():
+        # wide: sample p = bx*s + sx occupies strip cols (2p, 2p+1)
+        emit(TSTRIP, win_w[slot],
+             lambda bx: range(2 * s * bx, 2 * s * (bx + 1)))
+
+
+# ---------------------------------------------------------------- entry
+def pallas_multiscale_roi_align_batch(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_size: Tuple[int, int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    boxes_valid: jnp.ndarray | None = None,
+    quant: str | tuple | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Drop-in for ``roi_align.multiscale_roi_align_batch`` (same semantics,
+    same quant contract), computed by the Pallas window kernel.
+
+    ``interpret=None`` resolves to the backend: compiled on TPU, interpreter
+    elsewhere (so CPU tests exercise the identical program)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n = boxes.shape[:2]
+    m = b * n
+    P = int(output_size)
+    s = int(sampling_ratio)
+    C = features[0].shape[-1]
+    out_dtype = features[0].dtype
+
+    table_scale = None
+    if quant == "int8":
+        features, table_scale = quantize_fpn_levels(features)
+    elif isinstance(quant, tuple):
+        features, table_scale = quant
+    elif quant is not None:
+        raise ValueError(f"unknown roi-pool quant mode `{quant}`")
+
+    idx, by, ax, (S, WB, WA, PP) = _prep(
+        features, boxes, image_size, P, s, boxes_valid, table_scale)
+    tables, _ = _make_tables(features)
+    # compute dtype: match the XLA path — bf16 tables compute in bf16,
+    # f32 AND int8 tables in f32 (int8 dequant weights need f32 precision)
+    cdt = jnp.bfloat16 if tables[0].dtype == jnp.bfloat16 else jnp.float32
+    n_levels = len(tables)
+    assert n_levels <= 4, "kernel supports up to 4 FPN levels"
+    # pad the table tuple to 4 refs so the kernel signature is static
+    while len(tables) < 4:
+        tables = tables + [tables[-1]]
+
+    kernel = functools.partial(
+        _roi_kernel, P=P, s=s, C=C, S=S, WB=WB, WA=WA, PP=PP,
+        n_levels=n_levels, cdt=cdt)
+
+    in_specs = [
+            pl.BlockSpec((1, 4 + S), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4 + S),
+                         lambda i: (jnp.minimum(i + 1, m - 1), 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, PP * WA), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, PP, WB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+    out = pl.pallas_call(
+        kernel,
+        grid=(m,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, PP, P * C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, PP, P * C), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN, WIN * C), tables[0].dtype),
+            pltpu.VMEM((2, 2 * S, TSTRIP * C), tables[0].dtype),
+            pltpu.VMEM((2, TSTRIP, 2 * S * C), tables[0].dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(idx, idx, ax, by, *tables)
+    return out[:, :P].reshape(b, n, P, P, C)

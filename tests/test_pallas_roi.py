@@ -1,0 +1,102 @@
+"""Pallas window-DMA RoIAlign (interpret mode) vs the XLA gather oracle.
+
+The XLA path (ops/roi_align.py) is itself torchvision-parity-tested
+(tests/test_ops.py), so agreement here chains to the reference CUDA op
+(/root/reference/src/models/org/rcnn.py:196-199)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnd_ghnd_tpu.ops.pallas_roi import _prep, pallas_multiscale_roi_align_batch
+from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align_batch,
+                                        quantize_fpn_levels)
+
+B, N, C = 2, 16, 32
+H, W = 256, 512  # P2 = 64x128: large enough to trigger tall/wide classes
+
+
+def _feats(rng, h=H, w=W, c=C, dtype=np.float32):
+    return [jnp.asarray(rng.randn(B, h // st, w // st, c).astype(dtype))
+            for st in (4, 8, 16, 32)]
+
+
+def _boxes(rng, n=N, h=H, w=W):
+    """Square-ish / tall / wide / tiny-degenerate mix, some off-image."""
+    out = []
+    for i in range(B * n):
+        kind = i % 5
+        if kind == 0:
+            bw, bh = rng.uniform(20, 200), rng.uniform(20, 200)
+        elif kind == 1:  # tall: y-span > 48 at P2 -> class T
+            bw, bh = rng.uniform(2, 10), rng.uniform(200, 250)
+        elif kind == 2:  # wide: x-span > 48 at P2 -> class W
+            bw, bh = rng.uniform(200, 500), rng.uniform(2, 10)
+        elif kind == 3:  # tiny / sub-pixel (roi clamp to >= 1)
+            bw, bh = rng.uniform(0.1, 4), rng.uniform(0.1, 4)
+        else:            # partially off-image
+            bw, bh = rng.uniform(50, 400), rng.uniform(50, 200)
+        x1 = rng.uniform(-20, w - bw / 2)
+        y1 = rng.uniform(-20, h - bh / 2)
+        out.append([x1, y1, x1 + bw, y1 + bh])
+    return jnp.asarray(np.array(out, np.float32).reshape(B, n, 4))
+
+
+def _check(feats, boxes, pool, valid=None, quant=None, tol=1e-4, **kw):
+    ref = multiscale_roi_align_batch(feats, boxes, kw.pop("image_size",
+                                                          (H, W)), pool,
+                                     boxes_valid=valid, quant=quant)
+    got = pallas_multiscale_roi_align_batch(
+        feats, boxes, kw.pop("pallas_image_size", (H, W)), pool,
+        boxes_valid=valid, quant=quant, interpret=True)
+    scale = max(float(jnp.max(jnp.abs(ref.astype(jnp.float32)))), 1.0)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    assert err < tol * scale, f"max err {err} vs scale {scale}"
+
+
+class TestPallasRoiAlign:
+    def test_covers_all_three_dma_classes(self):
+        rng = np.random.RandomState(0)
+        feats = _feats(rng)
+        boxes = _boxes(rng)
+        idx, _, _, _ = jax.jit(
+            lambda f, bx: _prep(f, bx, (H, W), 7, 2, None, None)
+        )(feats, boxes)
+        cls = np.asarray(idx[:, 0])
+        assert set(np.unique(cls)) == {0, 1, 2}, (
+            "fixture must exercise window, tall-strip and wide-strip paths")
+
+    @pytest.mark.parametrize("pool", [7, 14])
+    def test_parity_f32(self, pool):
+        rng = np.random.RandomState(1)
+        _check(_feats(rng), _boxes(rng), pool)
+
+    def test_parity_with_valid_mask(self):
+        rng = np.random.RandomState(2)
+        valid = jnp.asarray(rng.rand(B, N) > 0.3)
+        _check(_feats(rng), _boxes(rng), 7, valid=valid)
+
+    def test_parity_bf16(self):
+        rng = np.random.RandomState(3)
+        feats = [f.astype(jnp.bfloat16) for f in _feats(rng)]
+        # both paths compute in bf16; agreement is to bf16 resolution
+        _check(feats, _boxes(rng), 7, tol=3e-2)
+
+    def test_parity_int8_shared_tables(self):
+        rng = np.random.RandomState(4)
+        feats = _feats(rng)
+        quant = quantize_fpn_levels(feats)
+        _check(feats, _boxes(rng), 7, quant=quant, tol=3e-3)
+
+    def test_tiny_levels_pad_to_window(self):
+        # 96x96 fixture: every level smaller than the 48-window -> the
+        # zero-pad path in _make_tables must keep exactness
+        rng = np.random.RandomState(5)
+        feats = _feats(rng, h=96, w=96)
+        boxes = jnp.asarray(
+            np.array([[1, 1, 90, 90], [10, 20, 30, 25], [0, 0, 2, 95],
+                      [5, 5, 6, 6]] * (N // 4),
+                     np.float32)[None].repeat(B, 0))
+        _check(feats, boxes, 7, image_size=(96, 96),
+               pallas_image_size=(96, 96))
