@@ -258,11 +258,15 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
                           buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
                           shard_index: int = 0, num_shards: int = 1,
                           eval_batch_size: int = 1,
+                          val_batch_size: Optional[int] = None,
                           shard_eval: bool = False):
     """Build (train, val, test) loaders from the reference dataset YAML block
     (src/utils/data_util.py:18-48).  val/test default to batch_size=1 like
     the reference (data_util.py:44-47); ``eval_batch_size`` raises it for
-    TPU throughput (remainder batches are padded and unpadded around eval)."""
+    TPU throughput (remainder batches are padded and unpadded around eval).
+    ``val_batch_size`` overrides it for the VAL split only — per-epoch val
+    has no reference batch-1 protocol constraint (that applies to the final
+    TEST pass), so shipped configs run it batched (``tpu.eval_batch_size``)."""
     splits = dataset_config["splits"]
     num_workers = int(dataset_config.get("num_workers", 4))
     out = []
@@ -274,8 +278,14 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
             jpeg_quality=cfg.get("jpeg_quality"),
             with_masks=with_masks, with_keypoints=with_keypoints)
         training = name == "train"
+        if training:
+            bs = batch_size
+        elif name == "val" and val_batch_size is not None:
+            bs = val_batch_size
+        else:
+            bs = eval_batch_size
         out.append(DetectionLoader(
-            ds, batch_size if training else eval_batch_size,
+            ds, bs,
             training=training,
             min_sizes=min_sizes, max_size=max_size, buckets=buckets,
             num_workers=num_workers,

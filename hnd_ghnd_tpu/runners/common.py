@@ -265,13 +265,20 @@ def loaders_from_config(config: Dict[str, Any], model_kind: str,
     min_sizes = tuple(tpu_cfg.get("min_sizes", min_sizes))
     max_size = int(tpu_cfg.get("max_size", 1333))
     eval_bs = int((config.get("test", {}) or {}).get("batch_size", 1))
+    # per-epoch val batch size (tpu.eval_batch_size): the final-test
+    # batch-1 protocol is reference parity (src/utils/data_util.py:44-47)
+    # but per-epoch val has no such constraint — shipped configs set 8 so
+    # val rides the batched (and, multi-process, sharded) evaluate() path
+    val_bs = tpu_cfg.get("eval_batch_size")
     return get_coco_data_loaders(
         config["dataset"], batch_size,
         with_masks=model_kind == "mask_rcnn",
         with_keypoints=model_kind == "keypoint_rcnn",
         min_sizes=min_sizes, buckets=buckets, max_size=max_size,
         shard_index=shard_index, num_shards=num_shards,
-        eval_batch_size=eval_bs, shard_eval=num_shards > 1)
+        eval_batch_size=eval_bs,
+        val_batch_size=int(val_bs) if val_bs is not None else None,
+        shard_eval=num_shards > 1)
 
 
 def compute_dtype_from_config(config) -> "jax.numpy.dtype":

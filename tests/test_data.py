@@ -169,3 +169,28 @@ class TestLoader:
         ids1 = [t["image_id"] for _, _, h in loader for t in h]
         assert ids0 != ids1
         assert sorted(set(ids0)) == sorted(set(ids1))
+
+    def test_val_batch_size_config(self, fixture):
+        """tpu.eval_batch_size raises per-epoch VAL batching; the final
+        TEST loader keeps the reference batch-1 protocol
+        (src/utils/data_util.py:44-47)."""
+        from hnd_ghnd_tpu.runners import common
+        img_dir, ann_file = fixture
+        split = {"images": img_dir, "annotations": ann_file}
+        config = {
+            "dataset": {"splits": {"train": split, "val": split,
+                                   "test": split}, "num_workers": 1},
+            "test": {"batch_size": 1},
+            "tpu": {"eval_batch_size": 4, "buckets": [[96, 96]],
+                    "min_sizes": [64], "max_size": 96},
+        }
+        train, val, test = common.loaders_from_config(
+            config, "faster_rcnn", 2, shard_index=0, num_shards=1)
+        assert train.batch_size == 2
+        assert val.batch_size == 4
+        assert test.batch_size == 1
+        # without the knob, val follows the test protocol (old behavior)
+        config["tpu"].pop("eval_batch_size")
+        _, val2, test2 = common.loaders_from_config(
+            config, "faster_rcnn", 2, shard_index=0, num_shards=1)
+        assert val2.batch_size == 1 and test2.batch_size == 1

@@ -67,7 +67,11 @@ def criterion_block(layers):
 
 def tpu_block(compute_dtype="bfloat16"):
     return {"buckets": [[832, 1344], [1344, 832]],
-            "compute_dtype": compute_dtype, "mesh_axis": "data"}
+            "compute_dtype": compute_dtype, "mesh_axis": "data",
+            # per-epoch VAL batch (final test stays batch 1 = reference
+            # protocol, src/utils/data_util.py:44-47); rides the batched
+            # sharded evaluate() path
+            "eval_batch_size": 8}
 
 
 def write(path, cfg):
