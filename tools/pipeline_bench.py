@@ -1,0 +1,128 @@
+"""Host data-pipeline throughput: can the input path feed the chip?
+
+VERDICT round-3 missing-item #3: the training benchmarks isolate the
+compute loop with an on-device RepeatLoader, so nothing showed the HOST
+path — JPEG decode -> fused resize/flip/normalize/pad (native/pipeline/
+prep.cpp) -> bucket batch assembly (data/loader.py) — sustaining the
+~98 img/s the distill step consumes (the reference leans on 4 DataLoader
+workers, /root/reference/src/utils/data_util.py:32-43).
+
+This benchmark is host-only (no TPU, no jax): it generates a synthetic
+COCO-scale JPEG set (640x480-ish, quality 95 — val2017's modal shape),
+then streams the REAL ``DetectionLoader`` over it at the training batch
+size, reporting img/s per worker count plus a decode/prep stage split.
+
+The container is 1-core, so the absolute number here is a PER-CORE rate;
+the honest scaling claim is cores_needed = step_rate / per_core_rate
+(decode and prep release the GIL, so worker threads scale across real
+cores).  Results + the H2D caveat are recorded in BASELINE.md.
+
+Usage: python tools/pipeline_bench.py [--images 96] [--batch 24]
+                                      [--workers 1,2,4] [--epochs 2]
+Prints one JSON line per measurement.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _make_cocoscale_jpegs(root: str, n: int, seed: int = 0):
+    """COCO-val-like JPEGs: modal 640x480 / 480x640 plus some 500x375."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from fixtures import make_coco_fixture
+    rng = np.random.RandomState(seed)
+    # size_range is (h_range, w_range); emulate the landscape/portrait mix
+    # with one draw around COCO's modal sizes
+    return make_coco_fixture(root, num_images=n, seed=seed,
+                             size_range=((420, 640), (420, 640)),
+                             max_objects=6, num_classes=3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--workers", default="1,2,4")
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="timed epochs (first epoch additionally warms "
+                         "the page cache)")
+    ap.add_argument("--min_size", type=int, default=800)
+    args = ap.parse_args()
+
+    from hnd_ghnd_tpu.data import native_prep
+    from hnd_ghnd_tpu.data.coco import CocoDataset
+    from hnd_ghnd_tpu.data.loader import DetectionLoader
+
+    print(json.dumps({"native_prep": native_prep.available(),
+                      "cpu_count": os.cpu_count()}), flush=True)
+
+    with tempfile.TemporaryDirectory() as root:
+        img_dir, ann_file = _make_cocoscale_jpegs(root, args.images)
+        ds = CocoDataset(img_dir, ann_file, remove_non_annotated=True)
+
+        # stage split: decode and prep, measured directly on one image
+        raw = open(os.path.join(img_dir, sorted(os.listdir(img_dir))[0]),
+                   "rb").read()
+        if native_prep.available():
+            t0 = time.perf_counter()
+            reps = 50
+            for _ in range(reps):
+                arr = native_prep.decode_jpeg(raw)
+            t_dec = (time.perf_counter() - t0) / reps
+            oh, ow = arr.shape[:2]
+            from hnd_ghnd_tpu.data import transforms as T
+            nh, nw, _ = T.resize_geometry(oh, ow, args.min_size, 1333)
+            bh, bw = T.pick_bucket(nh, nw, T.DEFAULT_BUCKETS)
+            dst = np.empty((bh, bw, 3), np.float32)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                native_prep.prep_into(arr, nh, nw, False, dst)
+            t_prep = (time.perf_counter() - t0) / reps
+            print(json.dumps({"stage": "decode_ms_per_img",
+                              "value": round(t_dec * 1000, 2)}), flush=True)
+            print(json.dumps({"stage": "prep_ms_per_img",
+                              "value": round(t_prep * 1000, 2),
+                              "out_hw": [nh, nw]}), flush=True)
+
+        results = {}
+        for nw_workers in (int(v) for v in args.workers.split(",")):
+            loader = DetectionLoader(
+                ds, args.batch, training=True, min_sizes=(args.min_size,),
+                num_workers=nw_workers, seed=1)
+            # warm epoch: page cache + annotation caches
+            for batch, _, _ in loader:
+                pass
+            t0 = time.perf_counter()
+            total = 0
+            for ep in range(args.epochs):
+                loader.set_epoch(ep + 1)
+                for batch, _, host in loader:
+                    # count REAL images: batch-flush padding repeats are
+                    # a small-fixture artifact, not pipeline throughput
+                    total += sum(not t["is_padding"] for t in host)
+            dt = time.perf_counter() - t0
+            rate = total / dt
+            results[nw_workers] = rate
+            print(json.dumps({"workers": nw_workers,
+                              "img_s": round(rate, 1),
+                              "imgs": total,
+                              "wall_s": round(dt, 1)}), flush=True)
+
+        best = max(results.values())
+        print(json.dumps({
+            "metric": "host_pipeline_img_s_per_core",
+            "value": round(best, 1),
+            "cores_for_98_img_s": round(98.0 / best, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
