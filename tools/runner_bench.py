@@ -57,16 +57,18 @@ class RepeatLoader:
             yield self.batch, None, None
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=24)
-    ap.add_argument("--steps", type=int, default=120)
-    ap.add_argument("--hw", default="832,1344")
-    ap.add_argument("--kind", choices=("ghnd", "hnd"), default="ghnd")
-    ap.add_argument("--baseline", type=float, default=10.0,
-                    help="V100 img/s anchor (BASELINE.md)")
-    args = ap.parse_args()
-    h, w = (int(v) for v in args.hw.split(","))
+def measure_runner_loop(batch: int = 24, steps: int = 120,
+                        hw=(832, 1344), kind: str = "ghnd",
+                        baseline: float = 10.0) -> dict:
+    """Run the SHIPPED mimic_runner.distill loop for 2 epochs over an
+    on-device repeated batch and return the epoch-2 window throughput
+    (the PRODUCT number bench.py emits; see module docstring)."""
+    h, w = hw
+
+    class args:  # keep the body below verbatim
+        pass
+    args.batch, args.steps, args.kind, args.baseline = (batch, steps, kind,
+                                                        baseline)
 
     import __graft_entry__ as ge
     from hnd_ghnd_tpu.models.factory import build_model
@@ -149,7 +151,7 @@ def main():
     # epoch-2 window: end of epoch-1 eval -> start of epoch-2 eval
     window = eval_marks[1] - eval_marks[0]
     img_s = args.batch * args.steps / window
-    print(json.dumps({
+    return {
         "metric": f"mimic_runner_distill_img_s_{args.kind}_b{args.batch}",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
@@ -158,7 +160,21 @@ def main():
         "steps": args.steps,
         "epoch1_s": round(eval_marks[0] - t0, 2),
         "total_s": round(t_end - t0, 2),
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--hw", default="832,1344")
+    ap.add_argument("--kind", choices=("ghnd", "hnd"), default="ghnd")
+    ap.add_argument("--baseline", type=float, default=10.0,
+                    help="V100 img/s anchor (BASELINE.md)")
+    a = ap.parse_args()
+    h, w = (int(v) for v in a.hw.split(","))
+    print(json.dumps(measure_runner_loop(a.batch, a.steps, (h, w), a.kind,
+                                         a.baseline)))
 
 
 if __name__ == "__main__":
