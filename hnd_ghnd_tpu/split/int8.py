@@ -12,8 +12,15 @@ Scheme (standard post-training static quantization):
     normalization (frozen BN in the trunk, running-stats BN in the decoder)
     folded into the weights *before* quantization so the quantizer sees the
     effective kernel scale;
-  * activations: symmetric per-tensor int8 with calibration-derived scales
-    (max-abs over calibration batches at every requantization site);
+  * activations: per-tensor int8 with calibration-derived scales (max-abs
+    over calibration batches at every requantization site).  Post-ReLU
+    sites (every site except the two mid-decoder linear ones) are
+    NONNEGATIVE, so they quantize asymmetrically with zero point -128:
+    stored q = round(x * 255/amax) - 128 uses the full int8 range (half
+    the quantization step of a symmetric scheme).  The conv consuming a
+    zero-point input needs sum-of-weights corrections: a per-channel bias
+    fold for pad=0 convs, and for padded convs a border-exact correction
+    map from a 1-input-channel ones-conv (cost 1/Cin of the main conv);
   * convolutions accumulate in int32 (``preferred_element_type``);
     elementwise stages (bias add, residual add, ReLU, requantize) run in
     fp32 on the VPU — the inter-layer tensors are int8 end to end;
@@ -158,7 +165,7 @@ class _CalibKit:
     def __init__(self):
         self.amax: Dict[str, jnp.ndarray] = {}
 
-    def site(self, name, x):
+    def site(self, name, x, unsigned=False):
         self.amax[name] = jnp.max(jnp.abs(x)).astype(jnp.float32)
         return x
 
@@ -176,39 +183,62 @@ class _CalibKit:
 
 
 class _QuantKit:
-    """int8 walk: activations are (q_int8, scale) pairs between sites."""
+    """int8 walk: activations are (q_int8, scale, zero_point) triples
+    between sites; value = (q + zp) * scale with zp in {0, 128}."""
 
     def __init__(self, act_scales: Dict[str, float]):
         self.act_scales = act_scales
 
-    def site(self, name, x_fp):
+    def site(self, name, x_fp, unsigned=False):
+        # act_scales keep the amax/127 convention (serialized contract);
+        # the unsigned range [0, 255] derives its finer step from it
         s = jnp.float32(self.act_scales[name])
+        if unsigned:
+            su = s * jnp.float32(127.0 / 255.0)  # = amax / 255
+            q = (jnp.clip(jnp.round(x_fp / su), 0, 255) - 128
+                 ).astype(jnp.int8)
+            return (q, su, 128)
         q = jnp.clip(jnp.round(x_fp / s), -127, 127).astype(jnp.int8)
-        return (q, s)
+        return (q, s, 0)
 
     def _acc(self, xq, fw, stride, pad):
-        q, s_in = xq
+        q, s_in, zp = xq
         acc = jax.lax.conv_general_dilated(
             q, fw["qw"],
             window_strides=(stride, stride),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=fw.get("groups", 1),
-            preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * (s_in * fw["sw"]) + fw["b"]
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        if zp:
+            # true x = (q + zp) * s: the conv needs zp * sum-of-weights
+            # over IN-IMAGE taps (lax zero-padding already contributes 0,
+            # which is the true padding value, so pads must NOT be counted)
+            wsum = fw["qw"].astype(jnp.float32).sum(axis=2)  # [kh, kw, C]
+            if pad == 0:
+                acc = acc + zp * wsum.sum(axis=(0, 1))  # constant [C]
+            else:
+                ones = jnp.ones(q.shape[:3] + (1,), jnp.float32)
+                m = jax.lax.conv_general_dilated(
+                    ones, wsum[:, :, None, :],
+                    window_strides=(stride, stride),
+                    padding=((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                acc = acc + zp * m
+        return acc * (s_in * fw["sw"]) + fw["b"]
 
     def conv(self, name, xq, fw, stride=1, pad=0, relu=False):
         y = self._acc(xq, fw, stride, pad)
         if relu:
             y = jnp.maximum(y, 0)
-        return self.site(name, y)
+        return self.site(name, y, unsigned=relu)
 
     def conv_fp_out(self, xq, fw, stride=1, pad=0):
         return self._acc(xq, fw, stride, pad)
 
     def to_fp(self, xq):
-        q, s = xq
-        return q.astype(jnp.float32) * s
+        q, s, zp = xq
+        return (q.astype(jnp.float32) + zp) * s
 
 
 def _trunk_walk(kit, z_fp: jnp.ndarray, folded: Params,
@@ -216,7 +246,7 @@ def _trunk_walk(kit, z_fp: jnp.ndarray, folded: Params,
     """decoder -> layers2-4; returns fp feature list [layer1..layer4]."""
     inv, shift = folded["dec_in"]
     x = kit.site("dec_in", jnp.maximum(z_fp.astype(jnp.float32) * inv + shift,
-                                       0))
+                                       0), unsigned=True)
     for i, fw in enumerate(folded["dec"]):
         # decoder convs: kernel 2, stride 1, no padding
         x = kit.conv(f"dec{i}", x, fw, stride=1, pad=0, relu=fw["relu"])
@@ -235,7 +265,8 @@ def _trunk_walk(kit, z_fp: jnp.ndarray, folded: Params,
                                         stride=stride)
             else:
                 id_fp = kit.to_fp(identity)
-            x = kit.site(name + "out", jnp.maximum(y3 + id_fp, 0))
+            x = kit.site(name + "out", jnp.maximum(y3 + id_fp, 0),
+                         unsigned=True)
         feats.append(kit.to_fp(x))
     return feats
 

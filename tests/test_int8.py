@@ -82,9 +82,15 @@ class TestFoldCorrectness:
         # the inter-layer representation of the quantized walk is int8
         kit = qi._QuantKit({"x": 0.1})
         import jax.numpy as jnp
-        q, s = kit.site("x", jnp.asarray([[0.35, -0.2]]))
-        assert q.dtype == jnp.int8
+        q, s, zp = kit.site("x", jnp.asarray([[0.35, -0.2]]))
+        assert q.dtype == jnp.int8 and zp == 0
         np.testing.assert_array_equal(np.asarray(q), [[4, -2]])
+        # post-ReLU sites use the full [0, 255] range with zero point -128
+        qu, su, zpu = kit.site("x", jnp.asarray([[0.0, 0.1]]), unsigned=True)
+        assert qu.dtype == jnp.int8 and zpu == 128
+        # su = scale * 127/255 (= amax/255); 0.1/su = 2.008 -> q = 2 - 128
+        np.testing.assert_array_equal(np.asarray(qu), [[-128, -126]])
+        assert float(su) == pytest.approx(0.1 * 127 / 255)
 
     def test_int8_conv_accumulates_int32(self):
         """The quantized conv path must request int32 accumulation (the MXU
@@ -98,10 +104,50 @@ class TestFoldCorrectness:
               "sw": jnp.ones((8,), jnp.float32),
               "b": jnp.zeros((8,), jnp.float32), "relu": False}
         xq = kit.site("in", jnp.ones((1, 2, 2, 4), jnp.float32) * 100.0)
-        jaxpr = jax.make_jaxpr(lambda q: kit._acc((q, jnp.float32(1.0)),
+        jaxpr = jax.make_jaxpr(lambda q: kit._acc((q, jnp.float32(1.0), 0),
                                                   fw, 1, 0))(xq[0])
         text = str(jaxpr)
         assert "preferred_element_type=int32" in text, text
+
+
+class TestZeroPointExactness:
+    @pytest.mark.parametrize("pad,stride,groups", [(0, 1, 1), (1, 1, 1),
+                                                   (1, 2, 1), (1, 2, 2)])
+    def test_zp_conv_equals_dequantized_conv(self, pad, stride, groups):
+        """The zero-point conv (incl. the border-exact ones-conv
+        correction for padded convs) must equal the plain fp conv over the
+        DEQUANTIZED activations/weights — the zp algebra is exact, not an
+        approximation."""
+        import jax
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.split import int8 as qi
+
+        rng = np.random.RandomState(0)
+        cin, cout, k = 8, 12, 3
+        w = rng.randn(k, k, cin // groups, cout).astype(np.float32)
+        fw = qi.quantize_folded({"dec": [
+            {"w": jnp.asarray(w), "b": jnp.asarray(
+                rng.randn(cout).astype(np.float32)),
+             "relu": True, "groups": groups}],
+            "dec_in": None, "stages": []})["dec"][0]
+        x = np.abs(rng.randn(2, 9, 9, cin)).astype(np.float32)  # post-ReLU
+
+        kit = qi._QuantKit({"in": float(np.abs(x).max() / 127.0)})
+        xq = kit.site("in", jnp.asarray(x), unsigned=True)
+        got = np.asarray(kit._acc(xq, fw, stride, pad))
+
+        # fp oracle over the dequantized tensors
+        q, s, zp = xq
+        x_deq = (np.asarray(q, np.float32) + zp) * float(s)
+        w_deq = np.asarray(fw["qw"], np.float32) * np.asarray(fw["sw"])
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(x_deq), jnp.asarray(w_deq),
+            window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups) + fw["b"]
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4,
+                                   atol=2e-3)
 
 
 class TestInt8Accuracy:
