@@ -68,6 +68,14 @@ def main():
     ap.add_argument("--int8_pool", action="store_true",
                     help="measure with the opt-in int8 RoI pooling table "
                          "(model params int8_roi_pool)")
+    ap.add_argument("--roi_impl", choices=("xla", "pallas"), default="xla",
+                    help="eval-path RoIAlign program (model params "
+                         "roi_pool_impl)")
+    ap.add_argument("--kind", choices=("faster_rcnn", "mask_rcnn",
+                                       "keypoint_rcnn"),
+                    default="faster_rcnn",
+                    help="detector family to benchmark (VERDICT r3 #2: "
+                         "mask/keypoint TPU numbers)")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
     b = args.batch
@@ -78,6 +86,11 @@ def main():
     cfg = ge._student_config()
     if args.int8_pool:
         cfg = dict(cfg, params=dict(cfg["params"], int8_roi_pool=True))
+    if args.roi_impl != "xla":
+        cfg = dict(cfg, params=dict(cfg["params"],
+                                    roi_pool_impl=args.roi_impl))
+    if args.kind != "faster_rcnn":
+        cfg = dict(cfg, name=args.kind)  # factory reads the family here
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16
@@ -101,6 +114,33 @@ def main():
     t_full = chain_time("full_forward", full, (images,), args.iters)
     print(json.dumps({"stage": "full_img_s",
                       "value": round(b / t_full, 1)}), flush=True)
+
+    if args.kind != "faster_rcnn":
+        # host-side postprocess cost (VERDICT r3 #2): mask pasting /
+        # keypoint heatmap decode run on HOST inside the lag-1 eval
+        # pipeline — measure whether a batch of 100-det mask/kp payloads
+        # still hides under the device step
+        from hnd_ghnd_tpu.evals.postprocess import finalize_predictions
+
+        def full_dets(images):
+            dets, _, _ = model.forward(params, state,
+                                       dict(batch, images=images),
+                                       training=False,
+                                       use_bottleneck_transformer=True)
+            return dets
+
+        host_dets = jax.device_get(jax.jit(full_dets)(images))  # one fetch
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            for i in range(b):
+                finalize_predictions(host_dets, i, (480, 640), (800, 1333))
+        t_pp = (time.perf_counter() - t0) / reps
+        print(json.dumps({
+            "stage": "host_postprocess_ms_per_batch",
+            "value": round(t_pp * 1000, 2),
+            "hidden_by_lag1": bool(t_pp < t_full),
+        }), flush=True)
 
     # ------------------------------------------------------- backbone+FPN
     def bb(images):
@@ -153,6 +193,21 @@ def main():
 
     chain_time("roi_align_gather_int8", pool_fn_int8,
                (fpn_feats, proposals), args.iters)
+
+    from hnd_ghnd_tpu.ops.pallas_roi import pallas_multiscale_roi_align_batch
+
+    def pool_fn_pallas(feats, props):
+        return pallas_multiscale_roi_align_batch(
+            feats[:4], props, image_shape,
+            model.roi_heads.cfg.box_pool_size, boxes_valid=prop_valid)
+
+    if jax.default_backend() == "tpu":  # interpret mode would crawl on CPU
+        try:
+            chain_time("roi_align_pallas", pool_fn_pallas,
+                       (fpn_feats, proposals), args.iters)
+        except Exception as exc:  # Mosaic rejection: record, keep benching
+            print(json.dumps({"stage": "roi_align_pallas",
+                              "error": str(exc)[:300]}), flush=True)
     pooled = jax.block_until_ready(jax.jit(pool_fn)(fpn_feats, proposals))
     r = proposals.shape[1]
 
