@@ -25,7 +25,10 @@ WARMUP = 3
 ITERS = 10
 
 
-def main():
+def build_distill_bench(batch_size=BATCH, bucket=BUCKET,
+                        compute_dtype=None):
+    """Construct the GHND distill step + inputs used by the headline bench
+    (shared with tools/mfu_bench.py)."""
     import jax
     import jax.numpy as jnp
     from hnd_ghnd_tpu.distill.box import DistillationBox
@@ -56,17 +59,25 @@ def main():
     box = DistillationBox(teacher, student, criterion)
     optimizer, _ = build_optimizer({"type": "Adam", "params": {"lr": 1e-3}})
     step = make_distill_train_step(box, optimizer, frozen,
-                                   compute_dtype=jnp.bfloat16, donate=False)
+                                   compute_dtype=compute_dtype or jnp.bfloat16,
+                                   donate=False)
     opt_state = optimizer.init(s_params)
 
-    h, w = BUCKET
+    h, w = bucket
     rng = np.random.RandomState(0)
     batch = {
-        "images": jnp.asarray(rng.rand(BATCH, h, w, 3).astype(np.float32)),
-        "image_sizes": jnp.asarray([[800, 1333]] * BATCH, dtype=jnp.int32),
-        "original_sizes": jnp.asarray([[800, 1333]] * BATCH, dtype=jnp.int32),
+        "images": jnp.asarray(rng.rand(batch_size, h, w, 3).astype(np.float32)),
+        "image_sizes": jnp.asarray([[800, 1333]] * batch_size, dtype=jnp.int32),
+        "original_sizes": jnp.asarray([[800, 1333]] * batch_size,
+                                      dtype=jnp.int32),
     }
     key = jax.random.PRNGKey(0)
+    return step, (t_params, t_state), (s_params, s_state, opt_state), batch, key
+
+
+def main():
+    step, (t_params, t_state), (s_params, s_state, opt_state), batch, key = \
+        build_distill_bench()
 
     sp, ss, os_ = s_params, s_state, opt_state
     for i in range(WARMUP):

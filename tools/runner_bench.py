@@ -59,7 +59,8 @@ class RepeatLoader:
 
 def measure_runner_loop(batch: int = 24, steps: int = 120,
                         hw=(832, 1344), kind: str = "ghnd",
-                        baseline: float = 10.0) -> dict:
+                        baseline: float = 10.0,
+                        compute_dtype: str = "bfloat16") -> dict:
     """Run the SHIPPED mimic_runner.distill loop for 2 epochs over an
     on-device repeated batch and return the epoch-2 window throughput
     (the PRODUCT number bench.py emits; see module docstring)."""
@@ -95,7 +96,7 @@ def measure_runner_loop(batch: int = 24, steps: int = 120,
         "student_model": dict(ge._student_config(), frozen_modules=[
             "backbone.body.layer2", "backbone.body.layer3",
             "backbone.body.layer4", "backbone.fpn", "rpn", "roi_heads"]),
-        "tpu": {"compute_dtype": "bfloat16"},
+        "tpu": {"compute_dtype": compute_dtype},
     }
 
     # on-device batch (bf16 images like the runner's cast target; fp32 in
@@ -171,10 +172,16 @@ def main():
     ap.add_argument("--kind", choices=("ghnd", "hnd"), default="ghnd")
     ap.add_argument("--baseline", type=float, default=10.0,
                     help="V100 img/s anchor (BASELINE.md)")
+    ap.add_argument("--dtype", choices=("bfloat16", "float32"),
+                    default="bfloat16",
+                    help="tpu.compute_dtype (float32 = shipped-config rate)")
     a = ap.parse_args()
     h, w = (int(v) for v in a.hw.split(","))
-    print(json.dumps(measure_runner_loop(a.batch, a.steps, (h, w), a.kind,
-                                         a.baseline)))
+    out = measure_runner_loop(a.batch, a.steps, (h, w), a.kind, a.baseline,
+                              compute_dtype=a.dtype)
+    if a.dtype != "bfloat16":
+        out["metric"] += f"_{a.dtype}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
