@@ -76,7 +76,10 @@ def build_model(model_config: Dict[str, Any]) -> RCNN:
                 num_keypoints=num_keypoints, ext_threshold=ext_threshold,
                 # eval-only int8 RoI pooling table (BASELINE.md round-3
                 # eval attribution: the gather is the bandwidth floor)
-                int8_roi_pool=bool(params_cfg.get("int8_roi_pool", False)))
+                int8_roi_pool=bool(params_cfg.get("int8_roi_pool", False)),
+                # eval-path RoIAlign program: "pallas" = window-DMA kernel
+                # (ops/pallas_roi.py), "xla" = row-gather program
+                roi_pool_impl=str(params_cfg.get("roi_pool_impl", "xla")))
 
 
 def init_model(model: RCNN, seed: int = 0):

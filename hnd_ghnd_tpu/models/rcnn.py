@@ -49,7 +49,8 @@ class RCNN:
                  num_keypoints: int = 17,
                  rpn_cfg: Optional[RPNConfig] = None,
                  ext_threshold: Optional[float] = None,
-                 int8_roi_pool: bool = False):
+                 int8_roi_pool: bool = False,
+                 roi_pool_impl: str = "xla"):
         assert kind in ("faster_rcnn", "mask_rcnn", "keypoint_rcnn")
         self.kind = kind
         self.body = ResNetBody(backbone_name, injected_layer1=bottleneck)
@@ -61,6 +62,7 @@ class RCNN:
             with_keypoint=(kind == "keypoint_rcnn"),
             num_keypoints=num_keypoints,
             int8_pool=int8_roi_pool,
+            roi_pool_impl=roi_pool_impl,
         )
         self.roi_heads = RoIHeads(roi_cfg)
         self.ext_threshold = ext_threshold

@@ -26,6 +26,7 @@ from hnd_ghnd_tpu.models.rpn import (_balanced_sample, _bce_logits,
                                      _smooth_l1)
 from hnd_ghnd_tpu.ops import boxes as box_ops
 from hnd_ghnd_tpu.ops import nms as nms_ops
+from hnd_ghnd_tpu.ops.pallas_roi import pallas_multiscale_roi_align_batch
 from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
                                         multiscale_roi_align_batch,
                                         quantize_fpn_levels)
@@ -54,6 +55,11 @@ class RoIConfig(NamedTuple):
     # the RoIAlign gather bytes — the eval-path bandwidth floor — at the
     # cost of int8 feature precision in the pooled tensors
     int8_pool: bool = False
+    # eval-path RoIAlign implementation (model params `roi_pool_impl`):
+    # "xla" = flattened row-gather program (ops/roi_align.py), "pallas" =
+    # per-RoI window-DMA kernel (ops/pallas_roi.py) that fuses the
+    # bilinear weighting in VMEM
+    roi_pool_impl: str = "xla"
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +220,10 @@ class RoIHeads:
         # the box/mask/keypoint pooling calls — requantizing per call costs
         # a full feature-map pass each time.
         quant = quantize_fpn_levels(feats[:4]) if cfg.int8_pool else None
-        pooled = multiscale_roi_align_batch(
+        pool_batch = (pallas_multiscale_roi_align_batch
+                      if cfg.roi_pool_impl == "pallas"
+                      else multiscale_roi_align_batch)
+        pooled = pool_batch(
             feats[:4], proposals, image_shape, cfg.box_pool_size,
             boxes_valid=prop_valid, quant=quant)  # [B, R, P, P, C]
         rep = self.box_head.apply(
@@ -267,7 +276,7 @@ class RoIHeads:
         d = det_boxes.shape[1]
 
         if self.mask_head is not None:
-            pooled = multiscale_roi_align_batch(
+            pooled = pool_batch(
                 feats[:4], det_boxes, image_shape, self.cfg.mask_pool_size,
                 boxes_valid=det_valid, quant=quant)
             logits = self.mask_head.apply(
@@ -280,7 +289,7 @@ class RoIHeads:
             out["mask_probs"] = jax.nn.sigmoid(sel)
 
         if self.keypoint_head is not None:
-            pooled = multiscale_roi_align_batch(
+            pooled = pool_batch(
                 feats[:4], det_boxes, image_shape,
                 self.cfg.keypoint_pool_size, boxes_valid=det_valid,
                 quant=quant)

@@ -89,6 +89,42 @@ class TestPallasRoiAlign:
         quant = quantize_fpn_levels(feats)
         _check(feats, _boxes(rng), 7, quant=quant, tol=3e-3)
 
+    def test_roi_heads_impl_plumbing(self, monkeypatch):
+        """cfg.roi_pool_impl="pallas" routes every infer pooling site.
+
+        Routing only: the pallas entry is stubbed to delegate to the XLA
+        oracle (numeric parity is covered by the direct tests above —
+        comparing full-model detections would flake on a random-init
+        model whose near-tied scores let 1e-5 pooling reassociation flip
+        NMS selections)."""
+        from hnd_ghnd_tpu.models import roi_heads as rh
+        from hnd_ghnd_tpu.models.rcnn import RCNN
+        from hnd_ghnd_tpu.models.rpn import RPNConfig
+
+        calls = []
+
+        def spy(feats, boxes, image_size, pool, **kw):
+            calls.append(pool)
+            kw.pop("interpret", None)
+            return multiscale_roi_align_batch(feats, boxes, image_size,
+                                              pool, **kw)
+
+        monkeypatch.setattr(rh, "pallas_multiscale_roi_align_batch", spy)
+        rpn_cfg = RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16)
+        model = RCNN(kind="mask_rcnn", backbone_name="resnet18",
+                     rpn_cfg=rpn_cfg, roi_pool_impl="pallas")
+        params, state = model.init(jax.random.PRNGKey(0))
+        rng = np.random.RandomState(6)
+        img = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32))
+        batch = {"images": img,
+                 "image_sizes": jnp.asarray([[96, 96]], jnp.int32),
+                 "original_sizes": jnp.asarray([[96, 96]], jnp.int32)}
+        dets, _, _ = model.forward(params, state, batch, training=False)
+        assert np.asarray(dets["boxes"]).shape[0] == 1
+        # box pool (7) and mask pool (14) both routed through the pallas fn
+        assert calls == [model.roi_heads.cfg.box_pool_size,
+                         model.roi_heads.cfg.mask_pool_size]
+
     def test_tiny_levels_pad_to_window(self):
         # 96x96 fixture: every level smaller than the 48-window -> the
         # zero-pad path in _make_tables must keep exactness
