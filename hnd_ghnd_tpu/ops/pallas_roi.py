@@ -26,14 +26,22 @@ bounded by the P5 map, <= 46 per axis for buckets <= 1472 px), not each
 axis — a 1x800 px box lands on P2 with a 200-row extent.  Three DMA
 classes make the kernel exact for every box:
 
-* class A (y-span < 48 and x-span < 48): one [48, 48*C] window DMA.
+* class A (y-span < 48 and x-span < 48): one [56, 48*C] window DMA.
   Covers every aspect <= ~3 RoI and ALL clamped-P5 RoIs.
-* class T (tall, x-span < 24): the 2*P*s sample-row corners come as P*s
-  [2, 24*C] strip DMAs (corner rows y_lo, y_lo+1 are consecutive).  The
-  product bound guarantees x-span < 24 whenever y-span >= 48.
-* class W (wide, remainder): P*s [24, 2*C] column-pair strips (bilinear
+* class T (tall, x-span < 24): per sample, one [16, 24*C] strip DMA
+  covering the corner row pair (rows y_lo, y_lo+1 are consecutive),
+  pipelined through a 2-slot buffer with the per-sample y-contraction
+  accumulated.  The product bound guarantees x-span < 24 whenever
+  y-span >= 48.
+* class W (wide, remainder): P*s [32, 2*C] column-pair strips (bilinear
   x corners are consecutive columns).  The product bound guarantees
   y-span < 24 whenever x-span >= 48.
+
+Fetch rows are 8 larger than the covered span because Mosaic requires DMA
+slices of a tiled (8,128) HBM memref to start on a sublane-tile boundary:
+starts are snapped down to a multiple of 8 (stored pre-divided in idx so
+the in-kernel ``r8 * 8`` is provably aligned) and the <= 7-row slack rides
+in the fetch-relative weight positions.
 
 Class selection, window starts, and the two per-RoI weight matrices are
 vectorized XLA prep (one ``one_hot`` scatter per axis); snap/clamp edge
@@ -68,20 +76,35 @@ from hnd_ghnd_tpu.ops.roi_align import (_bilinear_params, _level_geometry,
 
 WIN = 48        # class-A window rows/cols
 TSTRIP = 24     # class-T strip cols / class-W strip rows
+# Mosaic requires DMA source slices of a tiled (8,128) HBM memref to start
+# on a sublane-tile boundary, so every fetch row start is snapped DOWN to a
+# multiple of 8 (stored pre-divided in idx; the kernel multiplies by 8,
+# which the divisibility prover accepts) and the fetch is extended to cover
+# the <=7-row slack:
+WIN_F = WIN + 8   # class-A fetch rows
+TFETCH = 16       # class-T per-sample fetch rows (2 needed + slack, pad8)
+WFETCH = TSTRIP + 8  # class-W fetch rows
 
 
 def _pad8(n: int) -> int:
     return (n + 7) // 8 * 8
 
 
+def _padded_h(h: int) -> int:
+    """Per-image table rows: 8-aligned (so per-image offsets stay on tile
+    boundaries) and >= WIN_F (so clamped fetch starts stay in range)."""
+    return max(WIN_F, _pad8(h))
+
+
 # --------------------------------------------------------------------- prep
 def _make_tables(features: Sequence[jnp.ndarray]):
-    """Flatten each level to [B*Hlp, Wlp*C], zero-padded to >= WIN per axis
-    (only P5 — and tiny-fixture levels — actually pay a pad copy)."""
+    """Flatten each level to [B*Hlp, Wlp*C], zero-padded to >= WIN_F rows
+    (8-aligned) / >= WIN cols (only P5 — and tiny-fixture levels — actually
+    pay a pad copy)."""
     tables, dims = [], []
     for f in features:
         b, h, w, c = f.shape
-        hp, wp = max(WIN, h), max(WIN, w)
+        hp, wp = _padded_h(h), max(WIN, w)
         if hp > h or wp > w:
             f = jnp.pad(f, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         tables.append(f.reshape(b * hp, wp * c))
@@ -101,10 +124,10 @@ def _prep(features, boxes, image_size, P: int, s: int, boxes_valid,
     m = b * n
     S = P * s
     heights, widths, scales, _ = _level_geometry(features, image_size)
-    hp = np.array([max(WIN, f.shape[1]) for f in features], np.int32)
+    hp = np.array([_padded_h(f.shape[1]) for f in features], np.int32)
     wp = np.array([max(WIN, f.shape[2]) for f in features], np.int32)
 
-    WB = max(WIN, 2 * S)          # stage-1 (y) weight width
+    WB = max(WIN_F, TFETCH * S)   # stage-1 (y) weight width
     WA = max(WIN, 2 * S)          # stage-2 (x) weight width
     PP = _pad8(P)
 
@@ -146,25 +169,36 @@ def _prep(features, boxes, image_size, P: int, s: int, boxes_valid,
     c0_a = jnp.clip(x_min, 0, lvl_wp - WIN)
     c0_t = jnp.clip(x_min, 0, lvl_wp - TSTRIP)
     r0_w = jnp.clip(y_min, 0, lvl_hp - TSTRIP)
-    rp_t = jnp.minimum(y_lo, (lvl_hp - 2)[:, None])           # [M, S]
     cp_w = jnp.minimum(x_lo, (lvl_wp - 2)[:, None])
 
-    row0 = jnp.where(cls == 0, r0_a, jnp.where(cls == 1, 0, r0_w)) + b_off
+    # 8-aligned fetch starts in absolute table rows (b_off is a multiple of
+    # 8 because _padded_h is); clamped so the fixed-length fetch stays in
+    # the table — the alignment slack (<= 7, <= 15 when clamped) is folded
+    # into the fetch-relative weight positions below
+    lvl_tot = b * lvl_hp
+    abs_lo = y_lo + b_off[:, None]
+    abs_hi = y_hi + b_off[:, None]
+    a0_a = jnp.minimum(((r0_a + b_off) // 8) * 8, lvl_tot - WIN_F)
+    at_p = jnp.minimum((abs_lo // 8) * 8, (lvl_tot - TFETCH)[:, None])
+    a0_w = jnp.minimum(((r0_w + b_off) // 8) * 8, lvl_tot - WFETCH)
+
+    row8 = jnp.where(cls == 0, a0_a, jnp.where(cls == 1, 0, a0_w)) // 8
     col0 = jnp.where(cls == 0, c0_a, jnp.where(cls == 1, c0_t, 0))
-    pairs = jnp.where(cls[:, None] == 1, b_off[:, None] + rp_t,
+    pairs = jnp.where(cls[:, None] == 1, at_p // 8,
                       jnp.where(cls[:, None] == 2, cp_w, 0))
     idx = jnp.concatenate(
-        [jnp.stack([cls, lvl, row0, col0], axis=1), pairs],
+        [jnp.stack([cls, lvl, row8, col0], axis=1), pairs],
         axis=1).astype(jnp.int32)                              # [M, 4+S]
 
     # fetch-relative weight positions per class
     p_ar = 2 * jnp.arange(S, dtype=jnp.int32)[None, :]
-    rely_lo = jnp.where(cls[:, None] == 0, y_lo - r0_a[:, None],
-                        jnp.where(cls[:, None] == 1, p_ar + (y_lo - rp_t),
-                                  y_lo - r0_w[:, None]))
-    rely_hi = jnp.where(cls[:, None] == 0, y_hi - r0_a[:, None],
-                        jnp.where(cls[:, None] == 1, p_ar + (y_hi - rp_t),
-                                  y_hi - r0_w[:, None]))
+    p16 = TFETCH * jnp.arange(S, dtype=jnp.int32)[None, :]
+    rely_lo = jnp.where(cls[:, None] == 0, abs_lo - a0_a[:, None],
+                        jnp.where(cls[:, None] == 1, p16 + (abs_lo - at_p),
+                                  abs_lo - a0_w[:, None]))
+    rely_hi = jnp.where(cls[:, None] == 0, abs_hi - a0_a[:, None],
+                        jnp.where(cls[:, None] == 1, p16 + (abs_hi - at_p),
+                                  abs_hi - a0_w[:, None]))
     relx_lo = jnp.where(cls[:, None] == 2, p_ar + (x_lo - cp_w),
                         x_lo - col0[:, None])
     relx_hi = jnp.where(cls[:, None] == 2, p_ar + (x_hi - cp_w),
@@ -204,8 +238,11 @@ def _roi_kernel(idx_cur, idx_nxt, ax_ref, by_ref, t0, t1, t2, t3, out_ref,
     nslot = jax.lax.rem(i + 1, 2)
 
     def run_dmas(idx_ref, sl, start):
-        cls = idx_ref[0, 0]
-        lvl = idx_ref[0, 1]
+        """Classes A and W: one fetch set per RoI, double-buffered across
+        grid steps (started for RoI i+1 while RoI i computes).  Class T is
+        handled at compute time (per-sample pipeline below)."""
+        cls = idx_ref[0, 0, 0]
+        lvl = idx_ref[0, 0, 1]
 
         def go(dma):
             dma.start() if start else dma.wait()
@@ -213,28 +250,20 @@ def _roi_kernel(idx_cur, idx_nxt, ax_ref, by_ref, t0, t1, t2, t3, out_ref,
         for l in range(n_levels):
             @pl.when(jnp.logical_and(cls == 0, lvl == l))
             def _(l=l):
-                r = idx_ref[0, 2]
-                c = idx_ref[0, 3]
+                r8 = idx_ref[0, 0, 2]
+                c = idx_ref[0, 0, 3]
                 go(pltpu.make_async_copy(
-                    tables[l].at[pl.ds(r, WIN), pl.ds(c * C, WIN * C)],
+                    tables[l].at[pl.ds(r8 * 8, WIN_F), pl.ds(c * C, WIN * C)],
                     win_a.at[sl], sem_a.at[sl]))
-
-            @pl.when(jnp.logical_and(cls == 1, lvl == l))
-            def _(l=l):
-                c = idx_ref[0, 3]
-                for p in range(S):
-                    r = idx_ref[0, 4 + p]
-                    go(pltpu.make_async_copy(
-                        tables[l].at[pl.ds(r, 2), pl.ds(c * C, TSTRIP * C)],
-                        win_t.at[sl, 2 * p:2 * p + 2, :], sem_t.at[sl]))
 
             @pl.when(jnp.logical_and(cls == 2, lvl == l))
             def _(l=l):
-                r = idx_ref[0, 2]
+                r8 = idx_ref[0, 0, 2]
                 for p in range(S):
-                    c = idx_ref[0, 4 + p]
+                    c = idx_ref[0, 0, 4 + p]
                     go(pltpu.make_async_copy(
-                        tables[l].at[pl.ds(r, TSTRIP), pl.ds(c * C, 2 * C)],
+                        tables[l].at[pl.ds(r8 * 8, WFETCH),
+                                     pl.ds(c * C, 2 * C)],
                         win_w.at[sl, :, 2 * p * C:2 * (p + 1) * C],
                         sem_w.at[sl]))
 
@@ -248,7 +277,7 @@ def _roi_kernel(idx_cur, idx_nxt, ax_ref, by_ref, t0, t1, t2, t3, out_ref,
 
     run_dmas(idx_cur, slot, False)  # wait for this step's window
 
-    cls = idx_cur[0, 0]
+    cls = idx_cur[0, 0, 0]
 
     def x_interp(gy, cols):
         """out[:, bx*C:(bx+1)*C] = sum_k ax[bx, k] * gy[:, k*C:(k+1)*C]
@@ -257,29 +286,62 @@ def _roi_kernel(idx_cur, idx_nxt, ax_ref, by_ref, t0, t1, t2, t3, out_ref,
         for bx in range(P):
             acc = None
             for k in cols(bx):
-                term = ax_ref[0, bx * WA + k] * gy[:, k * C:(k + 1) * C]
+                term = ax_ref[0, 0, bx * WA + k] * gy[:, k * C:(k + 1) * C]
                 acc = term if acc is None else acc + term
             out_cols.append(acc)
         return jnp.concatenate(out_cols, axis=1)  # [PP, P*C]
 
+    # fp32 tables: force the 3-pass fp32-accurate MXU dot (default would
+    # silently round operands to bf16); the kernel is DMA-bound so the
+    # extra passes are free.  bf16 tables keep the single-pass dot.
+    prec = (jax.lax.Precision.HIGHEST if cdt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
     def emit(win_rows, win, cols):
         by = by_ref[0, :, :win_rows].astype(cdt)
         gy = jnp.dot(by, win[...].astype(cdt),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
         out_ref[0] = x_interp(gy, cols).astype(out_ref.dtype)
 
     @pl.when(cls == 0)
     def _():
-        emit(WIN, win_a[slot], lambda bx: range(WIN))
+        emit(WIN_F, win_a[slot], lambda bx: range(WIN))
 
-    @pl.when(cls == 1)
-    def _():
-        emit(2 * S, win_t[slot], lambda bx: range(TSTRIP))
+    for l in range(n_levels):
+        # class T (tall): all samples share one 24-col strip but sit on
+        # scattered row pairs; each sample's aligned [TFETCH, 24C] fetch is
+        # pipelined through a 2-slot buffer and its y-contraction
+        # accumulated — the sum over samples is exactly the single big
+        # matmul the other classes do, taken 16 rows at a time
+        @pl.when(jnp.logical_and(cls == 1, idx_cur[0, 0, 1] == l))
+        def _(l=l):
+            c = idx_cur[0, 0, 3]
+
+            def t_dma(p, sl):
+                r8 = idx_cur[0, 0, 4 + p]
+                return pltpu.make_async_copy(
+                    tables[l].at[pl.ds(r8 * 8, TFETCH),
+                                 pl.ds(c * C, TSTRIP * C)],
+                    win_t.at[sl], sem_t.at[sl])
+
+            t_dma(0, 0).start()
+            gy = jnp.zeros((PP, TSTRIP * C), jnp.float32)
+            for p in range(S):
+                sl = p % 2
+                if p + 1 < S:
+                    t_dma(p + 1, 1 - sl).start()
+                t_dma(p, sl).wait()
+                byp = by_ref[0, :, TFETCH * p:TFETCH * (p + 1)].astype(cdt)
+                gy = gy + jnp.dot(byp, win_t[sl].astype(cdt),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+            out_ref[0] = x_interp(
+                gy, lambda bx: range(TSTRIP)).astype(out_ref.dtype)
 
     @pl.when(cls == 2)
     def _():
         # wide: sample p = bx*s + sx occupies strip cols (2p, 2p+1)
-        emit(TSTRIP, win_w[slot],
+        emit(WFETCH, win_w[slot],
              lambda bx: range(2 * s * bx, 2 * s * (bx + 1)))
 
 
@@ -332,13 +394,18 @@ def pallas_multiscale_roi_align_batch(
         _roi_kernel, P=P, s=s, C=C, S=S, WB=WB, WA=WA, PP=PP,
         n_levels=n_levels, cdt=cdt)
 
+    # rank-3 with a singleton middle axis: Mosaic only accepts a windowed
+    # SMEM block when its last two dims divide (8, 128) or EQUAL the array
+    # dims — (1, 1, K) blocks over (m, 1, K) arrays satisfy the equality arm
+    idx = idx.reshape(m, 1, 4 + S)
+    ax = ax.reshape(m, 1, PP * WA)
     in_specs = [
-            pl.BlockSpec((1, 4 + S), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, 4 + S), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4 + S),
-                         lambda i: (jnp.minimum(i + 1, m - 1), 0),
+            pl.BlockSpec((1, 1, 4 + S),
+                         lambda i: (jnp.minimum(i + 1, m - 1), 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, PP * WA), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, PP * WA), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, PP, WB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -351,9 +418,9 @@ def pallas_multiscale_roi_align_batch(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, PP, P * C), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN, WIN * C), tables[0].dtype),
-            pltpu.VMEM((2, 2 * S, TSTRIP * C), tables[0].dtype),
-            pltpu.VMEM((2, TSTRIP, 2 * S * C), tables[0].dtype),
+            pltpu.VMEM((2, WIN_F, WIN * C), tables[0].dtype),
+            pltpu.VMEM((2, TFETCH, TSTRIP * C), tables[0].dtype),
+            pltpu.VMEM((2, WFETCH, 2 * S * C), tables[0].dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
