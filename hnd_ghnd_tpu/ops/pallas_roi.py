@@ -378,6 +378,15 @@ def pallas_multiscale_roi_align_batch(
     elif quant is not None:
         raise ValueError(f"unknown roi-pool quant mode `{quant}`")
 
+    # Scratch windows are allocated at tables[0].dtype and DMA'd from every
+    # level — Mosaic rejects a dtype-mixed DMA, so unify the levels first
+    # (no-op unless a caller promoted one level, e.g. by adding an f32
+    # scalar to it).
+    if any(f.dtype != features[0].dtype for f in features[1:]):
+        common = jnp.result_type(*[f.dtype for f in features])
+        features = [f.astype(common) for f in features]
+        out_dtype = common
+
     idx, by, ax, (S, WB, WA, PP) = _prep(
         features, boxes, image_size, P, s, boxes_valid, table_scale)
     tables, _ = _make_tables(features)

@@ -44,9 +44,12 @@ def chain_time(name, fn, args, iters, perturb_path=0):
         for _ in range(iters):
             cur = list(flat)
             # inject the chain scalar into one float leaf (epsilon-scaled:
-            # value-neutral, dependency-real)
-            cur[perturb_path] = cur[perturb_path] + s * jnp.asarray(
-                1e-30, cur[perturb_path].dtype)
+            # value-neutral, dependency-real).  Cast the perturbation to the
+            # leaf dtype BEFORE the add — f32-scalar + bf16-leaf would
+            # silently promote just this leaf to f32 (mixed-dtype FPN levels
+            # downstream).
+            eps = (s * jnp.float32(1e-30)).astype(cur[perturb_path].dtype)
+            cur[perturb_path] = cur[perturb_path] + eps
             out = fn(*jax.tree_util.tree_unflatten(treedef, cur))
             s = s + _first_leaf_scalar(out)
         return s
