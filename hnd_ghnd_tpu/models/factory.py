@@ -79,7 +79,7 @@ def build_model(model_config: Dict[str, Any]) -> RCNN:
                 int8_roi_pool=bool(params_cfg.get("int8_roi_pool", False)),
                 # eval-path RoIAlign program: "pallas" = window-DMA kernel
                 # (ops/pallas_roi.py), "xla" = row-gather program
-                roi_pool_impl=str(params_cfg.get("roi_pool_impl", "xla")))
+                roi_pool_impl=str(params_cfg.get("roi_pool_impl", "auto")))
 
 
 def init_model(model: RCNN, seed: int = 0):

@@ -58,8 +58,16 @@ class RoIConfig(NamedTuple):
     # eval-path RoIAlign implementation (model params `roi_pool_impl`):
     # "xla" = flattened row-gather program (ops/roi_align.py), "pallas" =
     # per-RoI window-DMA kernel (ops/pallas_roi.py) that fuses the
-    # bilinear weighting in VMEM
-    roi_pool_impl: str = "xla"
+    # bilinear weighting in VMEM, "auto" (default) = pallas on a TPU
+    # backend, xla elsewhere (Mosaic-interpret pooling would crawl on CPU).
+    # Measured batch-8 832x1344 bf16: full eval 160.9 -> 69.8 ms
+    # (BASELINE.md round-4).
+    roi_pool_impl: str = "auto"
+
+    def resolved_pool_impl(self) -> str:
+        if self.roi_pool_impl == "auto":
+            return ("pallas" if jax.default_backend() == "tpu" else "xla")
+        return self.roi_pool_impl
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +229,7 @@ class RoIHeads:
         # a full feature-map pass each time.
         quant = quantize_fpn_levels(feats[:4]) if cfg.int8_pool else None
         pool_batch = (pallas_multiscale_roi_align_batch
-                      if cfg.roi_pool_impl == "pallas"
+                      if cfg.resolved_pool_impl() == "pallas"
                       else multiscale_roi_align_batch)
         pooled = pool_batch(
             feats[:4], proposals, image_shape, cfg.box_pool_size,

@@ -71,9 +71,10 @@ def main():
     ap.add_argument("--int8_pool", action="store_true",
                     help="measure with the opt-in int8 RoI pooling table "
                          "(model params int8_roi_pool)")
-    ap.add_argument("--roi_impl", choices=("xla", "pallas"), default="xla",
+    ap.add_argument("--roi_impl", choices=("auto", "xla", "pallas"),
+                    default="auto",
                     help="eval-path RoIAlign program (model params "
-                         "roi_pool_impl)")
+                         "roi_pool_impl; auto = pallas on TPU)")
     ap.add_argument("--kind", choices=("faster_rcnn", "mask_rcnn",
                                        "keypoint_rcnn"),
                     default="faster_rcnn",
@@ -89,9 +90,7 @@ def main():
     cfg = ge._student_config()
     if args.int8_pool:
         cfg = dict(cfg, params=dict(cfg["params"], int8_roi_pool=True))
-    if args.roi_impl != "xla":
-        cfg = dict(cfg, params=dict(cfg["params"],
-                                    roi_pool_impl=args.roi_impl))
+    cfg = dict(cfg, params=dict(cfg["params"], roi_pool_impl=args.roi_impl))
     if args.kind != "faster_rcnn":
         cfg = dict(cfg, name=args.kind)  # factory reads the family here
     model = build_model(cfg)
@@ -254,7 +253,7 @@ def main():
     # Subtract the pool time of the impl the MODEL actually ran (t_roi used
     # cfg.roi_pool_impl; t_pool above is always the XLA program).
     t_pool_model = t_pool
-    if model.roi_heads.cfg.roi_pool_impl == "pallas":
+    if model.roi_heads.cfg.resolved_pool_impl() == "pallas":
         def pool_model_fn(feats, props):
             return pallas_multiscale_roi_align_batch(
                 feats[:4], props, image_shape,
