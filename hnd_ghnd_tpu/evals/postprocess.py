@@ -90,18 +90,25 @@ def finalize_predictions(dets: Dict[str, np.ndarray], image_index: int,
     """Convert one image's fixed-shape device outputs into variable-length
     host predictions for the evaluator / visualizer."""
     valid = np.asarray(dets["valid"][image_index]).astype(bool)
+
+    def _f32(x):
+        # device outputs may be bfloat16 (tpu.compute_dtype) — cv2's
+        # resize rejects it, so normalize every float payload here
+        a = np.asarray(x)
+        return a.astype(np.float32) if a.dtype != np.float32 else a
+
     out = {
-        "boxes": np.asarray(dets["boxes"][image_index])[valid],
-        "scores": np.asarray(dets["scores"][image_index])[valid],
+        "boxes": _f32(dets["boxes"][image_index])[valid],
+        "scores": _f32(dets["scores"][image_index])[valid],
         "labels": np.asarray(dets["labels"][image_index])[valid],
     }
     oh, ow = original_size
     if "mask_probs" in dets:
-        probs = np.asarray(dets["mask_probs"][image_index])[valid]
+        probs = _f32(dets["mask_probs"][image_index])[valid]
         out["masks"] = paste_masks(probs, out["boxes"], oh, ow)
     if "keypoint_logits" in dets:
-        hm = np.asarray(dets["keypoint_logits"][image_index])[valid]
-        bm = np.asarray(dets["boxes_model"][image_index])[valid]
+        hm = _f32(dets["keypoint_logits"][image_index])[valid]
+        bm = _f32(dets["boxes_model"][image_index])[valid]
         ih, iw = image_size
         kps, kp_scores = heatmaps_to_keypoints(hm, bm, (oh / ih, ow / iw))
         out["keypoints"] = kps

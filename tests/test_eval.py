@@ -175,6 +175,28 @@ class TestPostprocess:
         assert inside.mean() > 0.95
         assert out[0, :15, :].sum() == 0
 
+    def test_finalize_accepts_bfloat16_device_outputs(self):
+        """bf16 compute configs hand bf16 dets to the host postprocess;
+        cv2.resize rejects bf16, so finalize must cast (regression: the
+        keypoint family crashed on any bf16 eval before round 4)."""
+        import ml_dtypes
+        from hnd_ghnd_tpu.evals.postprocess import finalize_predictions
+        bf16 = ml_dtypes.bfloat16
+        d = 3
+        dets = {
+            "valid": np.ones((1, d), bool),
+            "boxes": np.asarray([[[5, 5, 50, 50]] * d], dtype=bf16),
+            "scores": np.ones((1, d), dtype=bf16),
+            "labels": np.ones((1, d), np.int32),
+            "mask_probs": np.ones((1, d, 28, 28), dtype=bf16),
+            "keypoint_logits": np.zeros((1, d, 56, 56, 17), dtype=bf16),
+            "boxes_model": np.asarray([[[10, 10, 100, 100]] * d], dtype=bf16),
+        }
+        out = finalize_predictions(dets, 0, (100, 100), (200, 200))
+        assert out["masks"].shape == (d, 100, 100)
+        assert out["keypoints"].shape == (d, 17, 3)
+        assert out["boxes"].dtype == np.float32
+
     def test_heatmap_argmax_maps_to_box_coords(self):
         hm = np.full((1, 56, 56, 17), -5.0, dtype=np.float32)
         hm[0, 28, 14, :] = 10.0  # peak at (y=28, x=14) of 56 -> rel (.5, .25)
