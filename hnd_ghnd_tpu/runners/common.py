@@ -10,8 +10,10 @@ timing — and the shared --config/--json/--device CLI surface
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
@@ -182,16 +184,34 @@ def evaluate(model, params, state, loader: DetectionLoader,
         params = replicate(params, mesh)
         state = replicate(state, mesh)
 
+    # Mask pasting / keypoint heatmap decode are per-image independent cv2
+    # work that releases the GIL — parallelize across the batch so the
+    # worst-case payload (100 valid dets/image: measured 94 ms/batch mask,
+    # 561 ms/batch keypoint at batch 8, BASELINE.md round-4) stays hidden
+    # behind the device step on multi-core hosts.  HND_TPU_POSTPROC_THREADS
+    # overrides; 0/1 disables (single-core containers gain nothing).
+    heavy_postproc = ("segm" in evaluator.iou_types
+                      or "keypoints" in evaluator.iou_types)
+    n_threads = int(os.environ.get("HND_TPU_POSTPROC_THREADS",
+                                   os.cpu_count() or 1))
+    pool = (ThreadPoolExecutor(n_threads)
+            if heavy_postproc and n_threads > 1 else None)
+
     def accumulate_batch(dets_dev, host_targets, image_sizes):
         dets = jax.device_get(dets_dev)
         dets = {k: np.asarray(v) for k, v in dets.items()}
-        preds = {}
-        for i, tgt in enumerate(host_targets):
-            if tgt.get("is_padding"):
-                continue
-            preds[tgt["image_id"]] = finalize_predictions(
+        live = [(i, tgt) for i, tgt in enumerate(host_targets)
+                if not tgt.get("is_padding")]
+
+        def one(i, tgt):
+            return tgt["image_id"], finalize_predictions(
                 dets, i, tuple(tgt["original_size"]),
                 (int(image_sizes[i][0]), int(image_sizes[i][1])))
+
+        if pool is not None:
+            preds = dict(pool.map(lambda a: one(*a), live))
+        else:
+            preds = dict(one(i, tgt) for i, tgt in live)
         evaluator.update(preds)
 
     # lag-1 pipeline: batch k's detections start an async device->host copy
@@ -218,6 +238,8 @@ def evaluate(model, params, state, loader: DetectionLoader,
                       evaluator_time=time.time() - t0)
     if pending is not None:
         accumulate_batch(*pending)
+    if pool is not None:
+        pool.shutdown(wait=False)
     evaluator.synchronize_between_processes()
     evaluator.accumulate()
     evaluator.summarize()
