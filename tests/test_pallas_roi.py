@@ -125,6 +125,24 @@ class TestPallasRoiAlign:
         assert calls == [model.roi_heads.cfg.box_pool_size,
                          model.roi_heads.cfg.mask_pool_size]
 
+    def test_auto_impl_resolves_by_backend(self):
+        """Default `auto` must pick xla off-TPU (interpret-mode pooling
+        would crawl in CPU tests/exports) and pallas on TPU."""
+        from hnd_ghnd_tpu.models.roi_heads import RoIConfig
+        cfg = RoIConfig()
+        assert cfg.roi_pool_impl == "auto"
+        assert cfg.resolved_pool_impl() == (
+            "pallas" if jax.default_backend() == "tpu" else "xla")
+        assert cfg._replace(
+            roi_pool_impl="xla").resolved_pool_impl() == "xla"
+        assert cfg._replace(
+            roi_pool_impl="pallas").resolved_pool_impl() == "pallas"
+        # factory default plumbs through
+        from hnd_ghnd_tpu.models.factory import build_model
+        m = build_model({"name": "faster_rcnn",
+                         "backbone": {"name": "resnet18", "params": {}}})
+        assert m.roi_heads.cfg.roi_pool_impl == "auto"
+
     def test_tiny_levels_pad_to_window(self):
         # 96x96 fixture: every level smaller than the 48-window -> the
         # zero-pad path in _make_tables must keep exactness
