@@ -32,6 +32,10 @@ def main():
     p.add_argument("--kind", default="faster_rcnn",
                    choices=["faster_rcnn", "mask_rcnn", "keypoint_rcnn"])
     p.add_argument("--skip_distill", action="store_true")
+    p.add_argument("--roi_ab", action="store_true",
+                   help="after training, evaluate with BOTH RoIAlign "
+                        "implementations (xla / pallas) and report both "
+                        "mAPs — accuracy evidence for the auto default")
     args = p.parse_args()
 
     from fixtures import make_coco_fixture
@@ -95,6 +99,28 @@ def main():
     print("== teacher eval ==", flush=True)
     tev = common.evaluate(teacher, t_params, t_state, test_loader)
     teacher_map = float(tev.stats["bbox"][0])
+
+    if args.roi_ab:
+        # same params, same eval — only the pooling program differs
+        import json
+        ab = {}
+        for impl in ("xla", "pallas"):
+            m2 = build_model({
+                "name": kind,
+                "backbone": {"name": "resnet50",
+                             "params": {"pretrained": False,
+                                        "freeze_layers": False}},
+                "params": {"num_classes": num_classes,
+                           "roi_pool_impl": impl,
+                           **({"num_keypoints": 17}
+                              if kind == "keypoint_rcnn" else {})}})
+            ev = common.evaluate(m2, t_params, t_state, test_loader)
+            ab[impl] = {t: round(float(s[0]), 4) for t, s in ev.stats.items()}
+        print(json.dumps({"roi_ab": ab,
+                          "delta_bbox": round(ab["pallas"]["bbox"]
+                                              - ab["xla"]["bbox"], 5)}),
+              flush=True)
+
     if args.skip_distill:
         extra = {t: float(s[0]) for t, s in tev.stats.items()}
         print(f"\nRESULT {kind} teacher stats: {extra}")
