@@ -114,19 +114,37 @@ class JitCache:
         self.model = model
         self._cache: Dict[Any, Any] = {}
 
-    def eval_forward(self, shape, use_bottleneck_transformer: bool):
-        key = ("eval", shape, use_bottleneck_transformer)
+    def eval_forward(self, shape, use_bottleneck_transformer: bool,
+                     mesh=None):
+        """``mesh``: shard the forward over the mesh's data axis via
+        shard_map (manual SPMD).  GSPMD auto-partitioning cannot partition
+        a pallas_call, so the sharded program must be per-device manual —
+        the eval forward is batch-parallel with no cross-image collectives,
+        which is exactly shard_map's contract."""
+        mesh_key = None if mesh is None else tuple(
+            d.id for d in mesh.devices.flat)
+        key = ("eval", shape, use_bottleneck_transformer, mesh_key)
         if key not in self._cache:
             model = self.model
 
-            @jax.jit
             def fwd(params, state, batch):
                 dets, _, _ = model.forward(
                     params, state, batch, training=False,
                     use_bottleneck_transformer=use_bottleneck_transformer)
                 return dets
 
-            self._cache[key] = fwd
+            if mesh is not None and mesh.devices.size > 1:
+                from jax.sharding import PartitionSpec as P
+                # check_vma off: the varying-manual-axes tracker rejects
+                # lax.while_loop carries whose init is a replicated constant
+                # (NMS's suppression fixpoint) even though the program has
+                # no collectives at all
+                fwd = jax.shard_map(
+                    fwd, mesh=mesh,
+                    in_specs=(P(), P(), P(mesh.axis_names[0])),
+                    out_specs=P(mesh.axis_names[0]),
+                    check_vma=False)
+            self._cache[key] = jax.jit(fwd)
         return self._cache[key]
 
 
@@ -221,10 +239,12 @@ def evaluate(model, params, state, loader: DetectionLoader,
     pending = None
     for batch, _, host_targets in logger.log_every(loader, log_freq, "Eval:"):
         shape = batch["images"].shape
-        fwd = jits.eval_forward(shape, use_bottleneck_transformer)
+        batch_sharded = shard and shape[0] % mesh.devices.size == 0
+        fwd = jits.eval_forward(shape, use_bottleneck_transformer,
+                                mesh if batch_sharded else None)
         t0 = time.time()
         arrs = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-        if shard and shape[0] % mesh.devices.size == 0:
+        if batch_sharded:
             arrs = put_batch(arrs, mesh)
         dets_dev = fwd(params, state, arrs)
         for leaf in jax.tree_util.tree_leaves(dets_dev):
