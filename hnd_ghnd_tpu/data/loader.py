@@ -135,7 +135,8 @@ class DetectionLoader:
                  buckets: Sequence[Tuple[int, int]] = T.DEFAULT_BUCKETS,
                  hflip_prob: float = 0.5, seed: int = 0,
                  num_workers: int = 4, shard_index: int = 0,
-                 num_shards: int = 1, max_gt: int = MAX_GT):
+                 num_shards: int = 1, max_gt: int = MAX_GT,
+                 pixel_dtype: str = "float32"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.training = training
@@ -149,7 +150,14 @@ class DetectionLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.max_gt = max_gt
-        self._use_native_prep = native_prep.available()
+        # uint8 wire: batch pixels stay rounded u8 codes (4x less host
+        # traffic and H2D bytes); the jit boundary dequantizes with a fused
+        # *1/255 (parallel/mesh.images_to_compute).  Geometry identical to
+        # the f32 path; the only delta is the <=0.5/255 resize rounding.
+        assert pixel_dtype in ("float32", "uint8"), pixel_dtype
+        self.pixel_dtype = np.uint8 if pixel_dtype == "uint8" else np.float32
+        self._use_native_prep = native_prep.available() and (
+            pixel_dtype == "float32" or native_prep.supports_u8())
 
     def set_epoch(self, epoch: int) -> None:
         """Distributed-shuffle seed bump (DistributedSampler.set_epoch
@@ -232,13 +240,16 @@ class DetectionLoader:
     def _emit(self, bucket, items, n_real: Optional[int] = None):
         if self._use_native_prep:
             bh, bw = bucket
-            imgs = np.empty((len(items), bh, bw, 3), np.float32)
+            imgs = np.empty((len(items), bh, bw, 3), self.pixel_dtype)
             for i, (raw, _) in enumerate(items):
                 native_prep.prep_into(raw.img, raw.nh, raw.nw, raw.flip,
                                       imgs[i])
         else:
             imgs = np.stack([T.pad_to(im, bucket) for im, _ in items], axis=0)
-            imgs = imgs.astype(np.float32) / 255.0
+            if self.pixel_dtype == np.uint8:
+                imgs = imgs.astype(np.uint8)
+            else:
+                imgs = imgs.astype(np.float32) / 255.0
         sizes = np.asarray([[im.shape[0], im.shape[1]] for im, _ in items],
                            np.int32)
         orig = np.asarray([t["original_size"] for _, t in items], np.int32)
@@ -259,7 +270,8 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
                           shard_index: int = 0, num_shards: int = 1,
                           eval_batch_size: int = 1,
                           val_batch_size: Optional[int] = None,
-                          shard_eval: bool = False):
+                          shard_eval: bool = False,
+                          pixel_dtype: str = "float32"):
     """Build (train, val, test) loaders from the reference dataset YAML block
     (src/utils/data_util.py:18-48).  val/test default to batch_size=1 like
     the reference (data_util.py:44-47); ``eval_batch_size`` raises it for
@@ -290,5 +302,6 @@ def get_coco_data_loaders(dataset_config: Dict[str, Any], batch_size: int, *,
             min_sizes=min_sizes, max_size=max_size, buckets=buckets,
             num_workers=num_workers,
             shard_index=shard_index if (training or shard_eval) else 0,
-            num_shards=num_shards if (training or shard_eval) else 1))
+            num_shards=num_shards if (training or shard_eval) else 1,
+            pixel_dtype=pixel_dtype))
     return tuple(out)

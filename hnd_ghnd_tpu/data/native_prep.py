@@ -48,6 +48,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64,   # bh, bw
                 ctypes.POINTER(ctypes.c_float),
             ]
+            if hasattr(lib, "prep_image_u8"):  # older .so: f32 path only
+                lib.prep_image_u8.restype = None
+                lib.prep_image_u8.argtypes = (
+                    lib.prep_image.argtypes[:-1] + [u8p])
             if hasattr(lib, "jpeg_decode"):
                 lib.jpeg_info.restype = ctypes.c_int64
                 lib.jpeg_info.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
@@ -62,6 +66,11 @@ def available() -> bool:
     if os.environ.get("HND_TPU_NATIVE_PREP", "1") != "1":
         return False
     return get_lib() is not None
+
+
+def supports_u8() -> bool:
+    """True when the built .so has the uint8-wire prep entry point."""
+    return available() and hasattr(get_lib(), "prep_image_u8")
 
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
@@ -86,17 +95,26 @@ def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
 
 def prep_into(src_u8: np.ndarray, nh: int, nw: int, flip: bool,
               out_slot: np.ndarray) -> None:
-    """Resize (bilinear, half-pixel centers) + optional hflip + /255 +
-    zero-pad src into out_slot ([bh, bw, 3] float32, C-contiguous)."""
+    """Resize (bilinear, half-pixel centers) + optional hflip + zero-pad
+    src into out_slot ([bh, bw, 3], C-contiguous).  float32 slot: values
+    normalized to [0, 1].  uint8 slot (the u8-wire mode): rounded codes —
+    4x less host/H2D traffic; the jit boundary dequantizes (*1/255)."""
     src = np.ascontiguousarray(src_u8, dtype=np.uint8)
     assert src.ndim == 3 and src.shape[2] == 3, src.shape
-    assert out_slot.dtype == np.float32 and out_slot.flags.c_contiguous
+    assert out_slot.dtype in (np.float32, np.uint8), out_slot.dtype
+    assert out_slot.flags.c_contiguous
     bh, bw = out_slot.shape[:2]
     # bounds-check before crossing into C: prep.cpp zero-pads with
     # memset(row + nw*3, 0, (bw-nw)*3*4) — a (bw-nw) < 0 would wrap to a
     # huge size_t (native heap overflow), not a Python exception
     assert 1 <= nh <= bh and 1 <= nw <= bw, (nh, nw, bh, bw)
-    get_lib().prep_image(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        src.shape[0], src.shape[1], nh, nw, int(bool(flip)), bh, bw,
-        out_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if out_slot.dtype == np.uint8:
+        get_lib().prep_image_u8(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            src.shape[0], src.shape[1], nh, nw, int(bool(flip)), bh, bw,
+            out_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    else:
+        get_lib().prep_image(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            src.shape[0], src.shape[1], nh, nw, int(bool(flip)), bh, bw,
+            out_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))

@@ -128,6 +128,10 @@ class JitCache:
             model = self.model
 
             def fwd(params, state, batch):
+                if batch["images"].dtype == jax.numpy.uint8:
+                    from hnd_ghnd_tpu.parallel.mesh import images_to_compute
+                    batch = dict(batch, images=images_to_compute(
+                        batch["images"], jax.numpy.float32))
                 dets, _, _ = model.forward(
                     params, state, batch, training=False,
                     use_bottleneck_transformer=use_bottleneck_transformer)
@@ -320,7 +324,8 @@ def loaders_from_config(config: Dict[str, Any], model_kind: str,
         shard_index=shard_index, num_shards=num_shards,
         eval_batch_size=eval_bs,
         val_batch_size=int(val_bs) if val_bs is not None else None,
-        shard_eval=num_shards > 1)
+        shard_eval=num_shards > 1,
+        pixel_dtype=str(tpu_cfg.get("pixel_dtype", "float32")))
 
 
 def compute_dtype_from_config(config) -> "jax.numpy.dtype":

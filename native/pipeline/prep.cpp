@@ -18,16 +18,18 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 
-extern "C" {
+namespace {
 
-// src: [sh, sw, 3] uint8 (decoded RGB); out: [bh, bw, 3] float32 slot.
-// Writes the (nh, nw) resized image (flipped when flip != 0) normalized to
-// [0, 1] at the top-left and zeroes the padding region.
-void prep_image(const uint8_t* src, int64_t sh, int64_t sw,
-                int64_t nh, int64_t nw, int32_t flip,
-                int64_t bh, int64_t bw, float* out) {
+// OutT = float: normalized to [0, 1].  OutT = uint8_t: rounded to the
+// nearest code (the uint8-wire mode — 4x less batch/H2D traffic; the
+// device dequantizes with a fused *1/255 at the jit boundary).
+template <typename OutT>
+void prep_image_impl(const uint8_t* src, int64_t sh, int64_t sw,
+                     int64_t nh, int64_t nw, int32_t flip,
+                     int64_t bh, int64_t bw, OutT* out) {
     const double sy_scale = (double)sh / (double)nh;
     const double sx_scale = (double)sw / (double)nw;
     const float inv255 = 1.0f / 255.0f;
@@ -48,9 +50,9 @@ void prep_image(const uint8_t* src, int64_t sh, int64_t sw,
     }
 
     for (int64_t y = 0; y < bh; ++y) {
-        float* row = out + y * bw * 3;
+        OutT* row = out + y * bw * 3;
         if (y >= nh) {
-            std::memset(row, 0, sizeof(float) * bw * 3);
+            std::memset(row, 0, sizeof(OutT) * bw * 3);
             continue;
         }
         double sy = (y + 0.5) * sy_scale - 0.5;
@@ -72,11 +74,36 @@ void prep_image(const uint8_t* src, int64_t sh, int64_t sw,
             for (int c = 0; c < 3; ++c) {
                 float top = w0 * p00[c] + w1 * p01[c];
                 float bot = w0 * p10[c] + w1 * p11[c];
-                row[x * 3 + c] = (wy0 * top + wy1 * bot) * inv255;
+                float v = wy0 * top + wy1 * bot;
+                if constexpr (std::is_same_v<OutT, float>) {
+                    row[x * 3 + c] = v * inv255;
+                } else {
+                    row[x * 3 + c] = (uint8_t)(v + 0.5f);
+                }
             }
         }
-        std::memset(row + nw * 3, 0, sizeof(float) * (bw - nw) * 3);
+        std::memset(row + nw * 3, 0, sizeof(OutT) * (bw - nw) * 3);
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// src: [sh, sw, 3] uint8 (decoded RGB); out: [bh, bw, 3] float32 slot.
+// Writes the (nh, nw) resized image (flipped when flip != 0) normalized to
+// [0, 1] at the top-left and zeroes the padding region.
+void prep_image(const uint8_t* src, int64_t sh, int64_t sw,
+                int64_t nh, int64_t nw, int32_t flip,
+                int64_t bh, int64_t bw, float* out) {
+    prep_image_impl<float>(src, sh, sw, nh, nw, flip, bh, bw, out);
+}
+
+// uint8-wire variant: same geometry, output left as rounded uint8 codes.
+void prep_image_u8(const uint8_t* src, int64_t sh, int64_t sw,
+                   int64_t nh, int64_t nw, int32_t flip,
+                   int64_t bh, int64_t bw, uint8_t* out) {
+    prep_image_impl<uint8_t>(src, sh, sw, nh, nw, flip, bh, bw, out);
 }
 
 }  // extern "C"

@@ -52,6 +52,113 @@ class TestPrepKernel:
             out, src[:, ::-1].astype(np.float32) / 255.0, atol=1e-6)
 
 
+    def test_u8_slot_matches_f32_rounded(self):
+        """uint8-wire mode: same geometry as the f32 path, values the
+        rounded codes (prep_image_u8)."""
+        if not native_prep.supports_u8():
+            pytest.skip("libprep.so without prep_image_u8")
+        src = self._src()
+        nh, nw, _ = T.resize_geometry(37, 53, 32, 64)
+        bucket = (48, 64)
+        f32 = np.empty((*bucket, 3), np.float32)
+        u8 = np.empty((*bucket, 3), np.uint8)
+        native_prep.prep_into(src, nh, nw, True, f32)
+        native_prep.prep_into(src, nh, nw, True, u8)
+        # +-1 code: the f32 slot stores v/255 (reconstruction not
+        # bit-identical) and np.rint ties-to-even vs the C round-half-up
+        diff = np.abs(u8.astype(np.int32)
+                      - np.rint(f32 * 255.0).astype(np.int32))
+        assert diff.max() <= 1
+        assert not u8[nh:].any() and not u8[:, nw:].any()
+
+
+class TestUint8Wire:
+    def test_loader_pixel_dtype_uint8(self, tmp_path):
+        """Loader u8 mode emits uint8 batches matching the f32 batches to
+        one code, on both the native and python paths."""
+        from tests.fixtures import make_coco_fixture
+        from hnd_ghnd_tpu.data.coco import CocoDataset
+        from hnd_ghnd_tpu.data.loader import DetectionLoader
+
+        img_dir, ann_file = make_coco_fixture(
+            str(tmp_path), num_images=4,
+            size_range=((60, 64), (90, 96)))
+        ds = CocoDataset(str(img_dir), str(ann_file))
+
+        def batches(dtype):
+            loader = DetectionLoader(ds, 2, training=True, min_sizes=(64,),
+                                     max_size=128, buckets=((64, 128),),
+                                     seed=3, num_workers=2,
+                                     pixel_dtype=dtype)
+            return list(loader)
+
+        f32 = batches("float32")
+        u8 = batches("uint8")
+        assert len(f32) == len(u8) > 0
+        for (bf, tf, _), (bu, tu, _) in zip(f32, u8):
+            assert bu["images"].dtype == np.uint8
+            np.testing.assert_allclose(
+                bu["images"].astype(np.float32) / 255.0, bf["images"],
+                atol=1.0 / 255.0)
+            np.testing.assert_array_equal(bu["image_sizes"],
+                                          bf["image_sizes"])
+            np.testing.assert_allclose(tu["boxes"], tf["boxes"], rtol=1e-6)
+
+    def test_images_to_compute_dequantizes(self):
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.parallel.mesh import images_to_compute
+        u8 = jnp.asarray([[0, 128, 255]], jnp.uint8)
+        out = images_to_compute(u8, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out),
+                                   [[0.0, 128 / 255, 1.0]], rtol=1e-6)
+        f = jnp.asarray([[0.25]], jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(images_to_compute(f, jnp.float32)), [[0.25]])
+
+    def test_distill_step_accepts_u8_batch(self):
+        """The jitted distill step produces (near-)identical losses from a
+        u8 batch and its dequantized f32 twin."""
+        import jax
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.distill.box import DistillationBox
+        from hnd_ghnd_tpu.models.factory import build_model
+        from hnd_ghnd_tpu.models.rcnn import RCNN
+        from hnd_ghnd_tpu.models.rpn import RPNConfig
+        from hnd_ghnd_tpu.parallel.mesh import (build_optimizer,
+                                                make_distill_train_step)
+
+        rpn_cfg = RPNConfig(pre_nms_top_n_train=32, post_nms_top_n_train=16)
+        teacher = RCNN(kind="faster_rcnn", backbone_name="resnet18",
+                       rpn_cfg=rpn_cfg)
+        student = RCNN(kind="faster_rcnn", backbone_name="resnet18",
+                       rpn_cfg=rpn_cfg)
+        tp, ts = teacher.init(jax.random.PRNGKey(0))
+        sp, ss = student.init(jax.random.PRNGKey(1))
+        criterion = {"type": "general", "params": {"org_loss_factor": 0.0},
+                     "terms": {"layer1": {
+                         "ts_modules": ["backbone.body.layer1"] * 2,
+                         "criterion": {"type": "MSELoss",
+                                       "params": {"reduction": "sum"}},
+                         "factor": 1.0}}}
+        box = DistillationBox(teacher, student, criterion)
+        opt, _ = build_optimizer({"type": "Adam", "params": {"lr": 1e-3}})
+        step = make_distill_train_step(box, opt, [], donate=False,
+                                       compute_dtype=jnp.float32)
+        os_ = opt.init(sp)
+        rng = np.random.RandomState(0)
+        u8_imgs = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+        base = {"image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+                "original_sizes": jnp.asarray([[64, 64]], jnp.int32)}
+        key = jax.random.PRNGKey(2)
+        loss_u8, *_ = step(tp, ts, sp, ss, os_,
+                           dict(base, images=jnp.asarray(u8_imgs)), key)
+        loss_f32, *_ = step(tp, ts, sp, ss, os_,
+                            dict(base, images=jnp.asarray(
+                                u8_imgs.astype(np.float32) / 255.0)), key)
+        np.testing.assert_allclose(float(loss_u8), float(loss_f32),
+                                   rtol=1e-5)
+
+
 class TestBoundedMap:
     def test_order_and_completeness(self):
         from concurrent.futures import ThreadPoolExecutor
