@@ -115,6 +115,33 @@ class TestUint8Wire:
         np.testing.assert_allclose(
             np.asarray(images_to_compute(f, jnp.float32)), [[0.25]])
 
+    def test_eval_forward_u8_equals_dequantized_f32(self):
+        """JitCache.eval_forward on a u8 batch must equal the same batch
+        dequantized on host — the in-jit *1/255 is the only difference."""
+        import jax
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.models.rcnn import RCNN
+        from hnd_ghnd_tpu.models.rpn import RPNConfig
+        from hnd_ghnd_tpu.runners.common import JitCache
+
+        rpn_cfg = RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16)
+        model = RCNN(kind="faster_rcnn", backbone_name="resnet18",
+                     rpn_cfg=rpn_cfg)
+        params, state = model.init(jax.random.PRNGKey(0))
+        jits = JitCache(model)
+        fwd = jits.eval_forward((1, 64, 64, 3), False)
+        rng = np.random.RandomState(1)
+        u8 = rng.randint(0, 256, (1, 64, 64, 3), np.uint8)
+        base = {"image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+                "original_sizes": jnp.asarray([[64, 64]], jnp.int32)}
+        d_u8 = fwd(params, state, dict(base, images=jnp.asarray(u8)))
+        d_f32 = fwd(params, state, dict(
+            base, images=jnp.asarray(u8.astype(np.float32)) / 255.0))
+        for k in d_u8:
+            np.testing.assert_allclose(np.asarray(d_u8[k]),
+                                       np.asarray(d_f32[k]),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_distill_step_accepts_u8_batch(self):
         """The jitted distill step produces (near-)identical losses from a
         u8 batch and its dequantized f32 twin."""

@@ -71,7 +71,11 @@ def tpu_block(compute_dtype="bfloat16"):
             # per-epoch VAL batch (final test stays batch 1 = reference
             # protocol, src/utils/data_util.py:44-47); rides the batched
             # sharded evaluate() path
-            "eval_batch_size": 8}
+            "eval_batch_size": 8,
+            # "uint8" = u8 pixel wire: 4x less host/H2D traffic, +29%
+            # loader throughput; <=0.5/255 resize-rounding delta vs the
+            # reference pixel path (BASELINE.md round-4)
+            "pixel_dtype": "float32"}
 
 
 def write(path, cfg):
