@@ -125,6 +125,32 @@ class TestPallasRoiAlign:
         assert calls == [model.roi_heads.cfg.box_pool_size,
                          model.roi_heads.cfg.mask_pool_size]
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_fuzz_shapes_and_boxes(self, seed):
+        """Bounded fuzz over feature geometry / pool size / box mixes:
+        random non-multiple-of-8 level heights (exercises the pad8 +
+        aligned-fetch slack), both pool sizes, sampling_ratio 2, random
+        degenerate boxes anywhere relative to the image."""
+        rng = np.random.RandomState(100 + seed)
+        h = int(rng.choice([96, 200, 232, 408]))
+        w = int(rng.choice([128, 296, 360, 520]))
+        c = int(rng.choice([16, 32]))
+        pool = int(rng.choice([7, 14]))
+        feats = [jnp.asarray(rng.randn(
+            B, max(1, h // st), max(1, w // st), c).astype(np.float32))
+            for st in (4, 8, 16, 32)]
+        n = 12
+        boxes = []
+        for _ in range(B * n):
+            x1 = rng.uniform(-30, w)
+            y1 = rng.uniform(-30, h)
+            bw = rng.uniform(0.05, w * 1.2)
+            bh = rng.uniform(0.05, h * 1.2)
+            boxes.append([x1, y1, x1 + bw, y1 + bh])
+        boxes = jnp.asarray(np.array(boxes, np.float32).reshape(B, n, 4))
+        _check(feats, boxes, pool, image_size=(h, w),
+               pallas_image_size=(h, w))
+
     def test_auto_impl_resolves_by_backend(self):
         """Default `auto` must pick xla off-TPU (interpret-mode pooling
         would crawl in CPU tests/exports) and pallas on TPU."""
