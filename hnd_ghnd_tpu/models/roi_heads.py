@@ -26,7 +26,8 @@ from hnd_ghnd_tpu.models.rpn import (_balanced_sample, _bce_logits,
                                      _smooth_l1)
 from hnd_ghnd_tpu.ops import boxes as box_ops
 from hnd_ghnd_tpu.ops import nms as nms_ops
-from hnd_ghnd_tpu.ops.pallas_roi import pallas_multiscale_roi_align_batch
+from hnd_ghnd_tpu.ops.pallas_roi import (
+    pallas_multiscale_roi_align_batch, pallas_multiscale_roi_align_batch_vjp)
 from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
                                         multiscale_roi_align_batch,
                                         quantize_fpn_levels)
@@ -55,13 +56,14 @@ class RoIConfig(NamedTuple):
     # the RoIAlign gather bytes — the eval-path bandwidth floor — at the
     # cost of int8 feature precision in the pooled tensors
     int8_pool: bool = False
-    # eval-path RoIAlign implementation (model params `roi_pool_impl`):
-    # "xla" = flattened row-gather program (ops/roi_align.py), "pallas" =
-    # per-RoI window-DMA kernel (ops/pallas_roi.py) that fuses the
-    # bilinear weighting in VMEM, "auto" (default) = pallas on a TPU
-    # backend, xla elsewhere (Mosaic-interpret pooling would crawl on CPU).
-    # Measured batch-8 832x1344 bf16: full eval 160.9 -> 69.8 ms
-    # (BASELINE.md round-4).
+    # RoIAlign implementation (model params `roi_pool_impl`), eval AND
+    # train pooling: "xla" = flattened row-gather program (ops/roi_align
+    # .py), "pallas" = per-RoI window-DMA kernel (ops/pallas_roi.py) that
+    # fuses the bilinear weighting in VMEM (train path: pallas forward +
+    # XLA linear-transpose backward, see pallas_roi._make_vjp_pool),
+    # "auto" (default) = pallas on a TPU backend, xla elsewhere
+    # (Mosaic-interpret pooling would crawl on CPU).  Measured batch-8
+    # 832x1344 bf16: full eval 160.9 -> 69.8 ms (BASELINE.md round-4).
     roi_pool_impl: str = "auto"
 
     def resolved_pool_impl(self) -> str:
@@ -350,6 +352,19 @@ class RoIHeads:
             proposals, prop_valid, targets["boxes"], targets["labels"],
             targets["boxes_valid"], keys)
 
+    def _train_pool(self, feats, boxes, image_shape, pool_size, valid):
+        """Batched train-path pooling through the configured impl.
+
+        "pallas" runs the window-DMA kernel forward with the XLA
+        linear-transpose backward (ops/pallas_roi._make_vjp_pool); "xla"
+        differentiates the gather program directly.  One batch-level pool
+        feeds one [B*R, ...] head matmul — same structure as ``infer``."""
+        fn = (pallas_multiscale_roi_align_batch_vjp
+              if self.cfg.resolved_pool_impl() == "pallas"
+              else multiscale_roi_align_batch)
+        return fn(feats[:4], boxes, image_shape, pool_size,
+                  boxes_valid=valid)
+
     def loss(self, params: Params, feats, image_shape, sampled):
         """Fast R-CNN classification + box-regression losses.
 
@@ -359,14 +374,21 @@ class RoIHeads:
         divided by the total sampled count — correct even when per-image
         sampled counts differ."""
         sel_boxes, cls, reg, sel_pos, sel_on, _ = sampled
+        b, r = sel_boxes.shape[:2]
 
-        def per_image(feats_i, boxes, labels, reg_t, pos, on):
-            cls_logits, box_deltas = self._box_forward(
-                params, feats_i, boxes, image_shape, on)
+        pooled = self._train_pool(feats, sel_boxes, image_shape,
+                                  self.cfg.box_pool_size, sel_on)
+        rep = self.box_head.apply(
+            params["box_head"], pooled.reshape((b * r,) + pooled.shape[2:]))
+        flat_cls, flat_deltas = self.box_predictor.apply(
+            params["box_predictor"], rep)
+        all_cls = flat_cls.reshape(b, r, -1)
+        all_deltas = flat_deltas.reshape(b, r, -1)
+
+        def per_image(cls_logits, box_deltas, labels, reg_t, pos, on):
             logp = jax.nn.log_softmax(cls_logits, axis=-1)
             ce = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
             cls_sum = jnp.sum(ce * on)
-            r = boxes.shape[0]
             deltas = box_deltas.reshape(r, self.cfg.num_classes, 4)
             sel_deltas = jnp.take_along_axis(
                 deltas, labels[:, None, None].astype(jnp.int32), axis=1)[:, 0]
@@ -375,7 +397,7 @@ class RoIHeads:
             return cls_sum, box_sum, on.sum()
 
         cls_sums, box_sums, counts = jax.vmap(per_image)(
-            list(feats), sel_boxes, cls, reg, sel_pos.astype(jnp.float32),
+            all_cls, all_deltas, cls, reg, sel_pos.astype(jnp.float32),
             sel_on.astype(jnp.float32))
         n_total = jnp.maximum(counts.sum(), 1.0)
         return {"loss_classifier": cls_sums.sum() / n_total,
@@ -412,14 +434,17 @@ class RoIHeads:
         boxes, labels, pos, gt_idx = self._select_positives(
             sampled, self.MAX_POSITIVES)
         m = 2 * self.cfg.mask_pool_size  # 28
+        b, np_ = boxes.shape[:2]
 
-        def per_image(feats_i, bxs, lbl, p, gidx, g_boxes, crops):
-            pooled = multiscale_roi_align(
-                feats_i[:4], bxs, image_shape, self.cfg.mask_pool_size,
-                boxes_valid=p > 0)
-            logits = self.mask_head.apply(params["mask_head"], pooled)
+        pooled = self._train_pool(feats, boxes, image_shape,
+                                  self.cfg.mask_pool_size, pos > 0)
+        logits = self.mask_head.apply(
+            params["mask_head"], pooled.reshape((b * np_,) + pooled.shape[2:]))
+        logits = logits.reshape((b, np_) + logits.shape[1:])
+
+        def per_image(logits_i, bxs, lbl, p, gidx, g_boxes, crops):
             sel = jnp.take_along_axis(
-                logits, lbl[:, None, None, None], axis=-1)[..., 0]  # [P,28,28]
+                logits_i, lbl[:, None, None, None], axis=-1)[..., 0]  # [P,28,28]
             own_crop = crops[gidx].astype(jnp.float32)   # [P, R+2, R+2]
             own_gbox = g_boxes[gidx]                     # [P, 4]
             targets = _project_boxes_on_crops(own_crop, own_gbox, bxs, m)
@@ -429,7 +454,7 @@ class RoIHeads:
 
         # torchvision maskrcnn_loss: BCE mean over the concatenated batch of
         # positive proposals (every 28x28 raster weighted equally)
-        bce_sums, counts = jax.vmap(per_image)(list(feats), boxes, labels,
+        bce_sums, counts = jax.vmap(per_image)(logits, boxes, labels,
                                                pos.astype(jnp.float32),
                                                gt_idx, gt_boxes,
                                                gt_mask_crops)
@@ -443,12 +468,16 @@ class RoIHeads:
         boxes, labels, pos, gt_idx = self._select_positives(
             sampled, self.MAX_POSITIVES)
         hm = 4 * self.cfg.keypoint_pool_size  # 56
+        b, np_ = boxes.shape[:2]
 
-        def per_image(feats_i, bxs, p, gidx, kps):
-            pooled = multiscale_roi_align(
-                feats_i[:4], bxs, image_shape, self.cfg.keypoint_pool_size,
-                boxes_valid=p > 0)
-            logits = self.keypoint_head.apply(params["keypoint_head"], pooled)
+        pooled = self._train_pool(feats, boxes, image_shape,
+                                  self.cfg.keypoint_pool_size, pos > 0)
+        all_logits = self.keypoint_head.apply(
+            params["keypoint_head"],
+            pooled.reshape((b * np_,) + pooled.shape[2:]))
+        all_logits = all_logits.reshape((b, np_) + all_logits.shape[1:])
+
+        def per_image(logits, bxs, p, gidx, kps):
             # [P, 56, 56, K] -> [P, K, 56*56]
             plogits = jnp.transpose(logits, (0, 3, 1, 2)).reshape(
                 logits.shape[0], logits.shape[3], -1)
@@ -471,7 +500,7 @@ class RoIHeads:
 
         # torchvision keypointrcnn_loss: cross-entropy mean over the
         # concatenated batch of visible keypoints
-        ce_sums, counts = jax.vmap(per_image)(list(feats), boxes,
+        ce_sums, counts = jax.vmap(per_image)(all_logits, boxes,
                                               pos.astype(jnp.float32), gt_idx,
                                               gt_keypoints)
         return {"loss_keypoint": ce_sums.sum() / jnp.maximum(counts.sum(), 1.0)}

@@ -439,3 +439,75 @@ def pallas_multiscale_roi_align_batch(
         interpret=interpret,
     )(idx, idx, ax, by, *tables)
     return out[:, :P].reshape(b, n, P, P, C)
+
+
+# ------------------------------------------------------------- trainable VJP
+@functools.lru_cache(maxsize=None)
+def _make_vjp_pool(image_size: Tuple[int, int], P: int, s: int):
+    """Build (and cache per static geometry) the custom-VJP pooling fn.
+
+    Forward = the Pallas window kernel above; backward = the linear
+    transpose of the XLA gather program (``roi_align.multiscale_roi_align_
+    batch``) applied to the cotangent — RoIAlign is linear in the features
+    for fixed boxes, and both programs compute the identical linear map
+    (parity 4.5e-5, tests/test_pallas_roi.py), so transposing the XLA one
+    is exact.  ``jax.linear_transpose`` never executes the forward, so the
+    backward costs ONLY the scatter-add (measured ~46 ms at batch 16x512
+    832x1344 vs the 87 ms XLA forward it replaces — BASELINE.md round-4
+    supervised-step table).
+
+    Boxes and the validity weights get zero cotangents: torchvision's
+    ``roi_align`` autograd likewise has no ``rois`` gradient (the reference
+    trains through torchvision RoIHeads,
+    /root/reference/src/models/org/rcnn.py:196-199), and the train path
+    stop-gradients proposals at the RPN anyway.
+    """
+    from hnd_ghnd_tpu.ops.roi_align import multiscale_roi_align_batch
+
+    @jax.custom_vjp
+    def pool(feats, boxes, vweight):
+        return pallas_multiscale_roi_align_batch(
+            list(feats), boxes, image_size, P, s, boxes_valid=vweight)
+
+    def fwd(feats, boxes, vweight):
+        shapes = tuple(jax.ShapeDtypeStruct(f.shape, f.dtype) for f in feats)
+        return pool(feats, boxes, vweight), (shapes, boxes, vweight)
+
+    def bwd(res, g):
+        shapes, boxes, vweight = res
+
+        def lin(fs):
+            return multiscale_roi_align_batch(
+                list(fs), boxes, image_size, P, s, boxes_valid=vweight)
+
+        (df,) = jax.linear_transpose(lin, shapes)(g)
+        return (tuple(df), jnp.zeros_like(boxes), jnp.zeros_like(vweight))
+
+    pool.defvjp(fwd, bwd)
+    return pool
+
+
+def pallas_multiscale_roi_align_batch_vjp(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    image_size: Tuple[int, int],
+    output_size: int,
+    sampling_ratio: int = 2,
+    boxes_valid: jnp.ndarray | None = None,
+    quant: str | tuple | None = None,
+) -> jnp.ndarray:
+    """Differentiable-wrt-features Pallas pooling for the TRAIN path.
+
+    Same signature/semantics as ``pallas_multiscale_roi_align_batch`` (the
+    ``quant`` arg is accepted for dispatch symmetry but must be None — int8
+    tables are an eval-only lever).  See ``_make_vjp_pool`` for the VJP
+    construction.
+    """
+    if quant is not None:
+        raise ValueError("int8 pooling tables are eval-only; the train path"
+                         " differentiates through the features")
+    vw = (jnp.ones(boxes.shape[:2], jnp.float32) if boxes_valid is None
+          else boxes_valid.astype(jnp.float32))
+    pool = _make_vjp_pool((int(image_size[0]), int(image_size[1])),
+                          int(output_size), int(sampling_ratio))
+    return pool(tuple(features), boxes, vw)

@@ -180,3 +180,96 @@ class TestPallasRoiAlign:
                      np.float32)[None].repeat(B, 0))
         _check(feats, boxes, 7, image_size=(96, 96),
                pallas_image_size=(96, 96))
+
+    def test_train_vjp_grad_matches_xla(self):
+        """Feature gradients through the custom-VJP train pool equal XLA
+        autodiff of the gather program (the backward IS the XLA linear
+        transpose; this also pins the forward-output contract)."""
+        from hnd_ghnd_tpu.ops.pallas_roi import (
+            pallas_multiscale_roi_align_batch_vjp)
+        rng = np.random.RandomState(7)
+        feats = _feats(rng)
+        boxes = _boxes(rng)
+        valid = jnp.asarray(rng.rand(B, N) > 0.2)
+        cot = jnp.asarray(rng.randn(B, N, 7, 7, C).astype(np.float32))
+
+        def loss(pool_fn):
+            def f(fs):
+                out = pool_fn(fs, boxes, (H, W), 7, boxes_valid=valid)
+                return jnp.sum(out.astype(jnp.float32) * cot)
+            return f
+
+        v_p, g_p = jax.value_and_grad(
+            loss(pallas_multiscale_roi_align_batch_vjp))(feats)
+        v_x, g_x = jax.value_and_grad(loss(multiscale_roi_align_batch))(feats)
+        assert np.isfinite(float(v_p))
+        np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-4)
+        for lp, lx in zip(g_p, g_x):
+            scale = max(float(jnp.max(jnp.abs(lx))), 1e-6)
+            err = float(jnp.max(jnp.abs(lp - lx)))
+            assert err < 1e-4 * scale, f"grad err {err} vs scale {scale}"
+
+    def test_train_vjp_zero_box_cotangent(self):
+        """Boxes get a zero cotangent (torchvision roi_align autograd
+        parity: no rois grad; proposals are stop-gradiented upstream)."""
+        from hnd_ghnd_tpu.ops.pallas_roi import (
+            pallas_multiscale_roi_align_batch_vjp)
+        rng = np.random.RandomState(3)
+        feats = _feats(rng, h=96, w=96)
+        boxes = _boxes(rng, h=96, w=96)
+
+        def f(b):
+            out = pallas_multiscale_roi_align_batch_vjp(
+                feats, b, (96, 96), 7)
+            return jnp.sum(out.astype(jnp.float32))
+
+        g = jax.grad(f)(boxes)
+        assert float(jnp.max(jnp.abs(g))) == 0.0
+
+    def test_train_vjp_rejects_quant(self):
+        from hnd_ghnd_tpu.ops.pallas_roi import (
+            pallas_multiscale_roi_align_batch_vjp)
+        rng = np.random.RandomState(1)
+        feats = _feats(rng, h=96, w=96)
+        boxes = _boxes(rng, h=96, w=96)
+        with pytest.raises(ValueError):
+            pallas_multiscale_roi_align_batch_vjp(
+                feats, boxes, (96, 96), 7, quant="int8")
+
+    def test_roi_heads_train_loss_pallas_matches_xla(self):
+        """RoIHeads.loss (batched train pooling) through the pallas VJP
+        pool equals the xla impl — values AND parameter gradients."""
+        from hnd_ghnd_tpu.models.roi_heads import RoIConfig, RoIHeads
+        rng = np.random.RandomState(11)
+        h = w = 96
+        feats = _feats(rng, h=h, w=w)
+        r = 24
+        boxes = _boxes(rng, n=r, h=h, w=w)
+        labels = jnp.asarray(rng.randint(0, 5, (B, r)), jnp.int32)
+        reg = jnp.asarray(rng.randn(B, r, 4).astype(np.float32) * 0.1)
+        pos = jnp.asarray(rng.rand(B, r) > 0.5)
+        on = jnp.ones((B, r), bool)
+        sampled = (boxes, labels, reg, pos, on,
+                   jnp.zeros((B, r), jnp.int32))
+
+        losses = {}
+        grads = {}
+        for impl in ("xla", "pallas"):
+            heads = RoIHeads(RoIConfig(num_classes=5, roi_pool_impl=impl),
+                             out_channels=C)
+            params = heads.init(jax.random.PRNGKey(0))
+
+            def total(p):
+                d = heads.loss(p, feats, (h, w), sampled)
+                return d["loss_classifier"] + d["loss_box_reg"]
+
+            losses[impl], grads[impl] = jax.value_and_grad(total)(params)
+
+        np.testing.assert_allclose(float(losses["xla"]),
+                                   float(losses["pallas"]), rtol=1e-4)
+        flat_x = jax.tree_util.tree_leaves(grads["xla"])
+        flat_p = jax.tree_util.tree_leaves(grads["pallas"])
+        for gx, gp in zip(flat_x, flat_p):
+            scale = max(float(jnp.max(jnp.abs(gx))), 1e-6)
+            err = float(jnp.max(jnp.abs(gx - gp)))
+            assert err < 2e-4 * scale, f"grad err {err} vs scale {scale}"
