@@ -201,12 +201,35 @@ def make_distill_train_step(box: DistillationBox, optimizer,
     )
 
 
+def _demote_pallas_pool_for_mesh(model, mesh: Optional[Mesh]):
+    """Return ``model`` with the RoI pooling forced to "xla" when the train
+    step will be GSPMD-partitioned (mesh size > 1) — GSPMD cannot partition
+    ``pallas_call``.  Shallow-copies the model/heads so the caller's eval
+    model keeps its configured impl."""
+    if (mesh is None or mesh.size <= 1
+            or getattr(model, "roi_heads", None) is None
+            or model.roi_heads.cfg.resolved_pool_impl() != "pallas"):
+        return model
+    import copy
+    model = copy.copy(model)
+    model.roi_heads = copy.copy(model.roi_heads)
+    model.roi_heads.cfg = model.roi_heads.cfg._replace(roi_pool_impl="xla")
+    return model
+
+
 def make_detection_train_step(model, optimizer,
                               frozen_modules: Sequence[str] = (),
                               mesh: Optional[Mesh] = None,
                               compute_dtype=jnp.bfloat16):
     """Supervised detector training step (the coco_runner path): loss = sum
-    of the R-CNN loss dict (reference src/coco_runner.py:43-44)."""
+    of the R-CNN loss dict (reference src/coco_runner.py:43-44).
+
+    On a >1-device mesh the step is GSPMD-partitioned (placement-driven),
+    and GSPMD cannot partition ``pallas_call`` — so the train-path pooling
+    falls back to the XLA gather program there (same reason sharded EVAL
+    wraps its forward in shard_map, runners/common.py).  Single-device
+    steps keep the Pallas train pool (custom VJP)."""
+    model = _demote_pallas_pool_for_mesh(model, mesh)
     def step(params, state, opt_state, batch, targets, rng):
         mask = trainable_mask(params, frozen_modules)
         images = images_to_compute(batch["images"], compute_dtype)

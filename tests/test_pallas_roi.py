@@ -273,3 +273,21 @@ class TestPallasRoiAlign:
             scale = max(float(jnp.max(jnp.abs(gx))), 1e-6)
             err = float(jnp.max(jnp.abs(gx - gp)))
             assert err < 2e-4 * scale, f"grad err {err} vs scale {scale}"
+
+    def test_multi_device_train_step_demotes_pallas_pool(self):
+        """GSPMD cannot partition pallas_call: building the supervised
+        train step over a >1-device mesh must fall back to xla pooling
+        (shallow copy — the caller's model keeps its impl)."""
+        from hnd_ghnd_tpu.models.factory import build_model
+        from hnd_ghnd_tpu.parallel.mesh import (_demote_pallas_pool_for_mesh,
+                                                make_mesh)
+        m = build_model({"name": "faster_rcnn",
+                         "backbone": {"name": "resnet18", "params": {}},
+                         "params": {"roi_pool_impl": "pallas"}})
+        mesh = make_mesh()
+        assert mesh.size > 1  # conftest forces 8 virtual CPU devices
+        demoted = _demote_pallas_pool_for_mesh(m, mesh)
+        assert demoted.roi_heads.cfg.roi_pool_impl == "xla"
+        assert m.roi_heads.cfg.roi_pool_impl == "pallas"  # original intact
+        # size-1 mesh and xla-configured models pass through unchanged
+        assert _demote_pallas_pool_for_mesh(m, None) is m
