@@ -19,6 +19,7 @@ in fp32 internally), parameters and optimizer state fp32.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -201,22 +202,6 @@ def make_distill_train_step(box: DistillationBox, optimizer,
     )
 
 
-def _demote_pallas_pool_for_mesh(model, mesh: Optional[Mesh]):
-    """Return ``model`` with the RoI pooling forced to "xla" when the train
-    step will be GSPMD-partitioned (mesh size > 1) — GSPMD cannot partition
-    ``pallas_call``.  Shallow-copies the model/heads so the caller's eval
-    model keeps its configured impl."""
-    if (mesh is None or mesh.size <= 1
-            or getattr(model, "roi_heads", None) is None
-            or model.roi_heads.cfg.resolved_pool_impl() != "pallas"):
-        return model
-    import copy
-    model = copy.copy(model)
-    model.roi_heads = copy.copy(model.roi_heads)
-    model.roi_heads.cfg = model.roi_heads.cfg._replace(roi_pool_impl="xla")
-    return model
-
-
 def make_detection_train_step(model, optimizer,
                               frozen_modules: Sequence[str] = (),
                               mesh: Optional[Mesh] = None,
@@ -224,16 +209,26 @@ def make_detection_train_step(model, optimizer,
     """Supervised detector training step (the coco_runner path): loss = sum
     of the R-CNN loss dict (reference src/coco_runner.py:43-44).
 
-    On a >1-device mesh the step is GSPMD-partitioned (placement-driven),
-    and GSPMD cannot partition ``pallas_call`` — so the train-path pooling
-    falls back to the XLA gather program there (same reason sharded EVAL
-    wraps its forward in shard_map, runners/common.py).  Single-device
-    steps keep the Pallas train pool (custom VJP)."""
-    model = _demote_pallas_pool_for_mesh(model, mesh)
-    def step(params, state, opt_state, batch, targets, rng):
+    Single device: one jitted step.  On a >1-device mesh the step runs
+    under ``jax.shard_map`` with reference-DDP semantics — each shard
+    computes its local loss (normalized over its OWN sampled proposals,
+    exactly what each DDP rank does) and gradients are ``pmean``-averaged
+    across the data axis (torch DDP's allreduce-average;
+    /root/reference/src/coco_runner.py trains under
+    DistributedDataParallel).  shard_map rather than GSPMD because the
+    train-path RoI pooling is a ``pallas_call`` (ops/pallas_roi.py), which
+    GSPMD cannot partition but manual per-shard SPMD runs unchanged — the
+    same reason sharded EVAL uses shard_map (runners/common.py).  The
+    sampler rng is ``fold_in``-ed with the shard index so shards draw
+    independent proposal samples (each DDP rank samples its own images).
+    """
+    def local_step(params, state, opt_state, batch, targets, rng,
+                   axis: Optional[str]):
         mask = trainable_mask(params, frozen_modules)
         images = images_to_compute(batch["images"], compute_dtype)
         cast_batch = dict(batch, images=images)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_fn(p):
             losses, new_state, _ = model.forward(
@@ -243,12 +238,27 @@ def make_detection_train_step(model, optimizer,
 
         (loss, (loss_dict, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if axis is not None:
+            pmean = functools.partial(jax.lax.pmean, axis_name=axis)
+            loss, loss_dict, grads = jax.tree_util.tree_map(
+                pmean, (loss, loss_dict, grads))
+            new_state = jax.tree_util.tree_map(
+                lambda x: pmean(x) if jnp.issubdtype(x.dtype, jnp.inexact)
+                else x, new_state)
         grads = apply_grad_mask(grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return loss, loss_dict, new_params, new_state, new_opt_state
 
-    # sharding is placement-driven: callers replicate params/opt state and
-    # put_batch-shard the batch/targets (targets may carry model-dependent
-    # extras like masks_crop/keypoints, so no fixed sharding pytree here)
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    if mesh is None or mesh.size <= 1:
+        step = functools.partial(local_step, axis=None)
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    axis = mesh.axis_names[0]
+    sharded = jax.shard_map(
+        functools.partial(local_step, axis=axis),
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False)  # pallas_call has no vma rule; pmean replicates
+    return jax.jit(sharded, donate_argnums=(0, 1, 2))

@@ -268,3 +268,83 @@ class TestTwoProcessExtEvalMerge:
             assert r["labels_sorted"] == single["labels_sorted"]
             np.testing.assert_allclose(r["prob_sum"], single["prob_sum"],
                                        rtol=1e-5)
+
+
+class TestShardedDetectionTrainStep:
+    def test_ddp_parity_with_manual_two_shard_average(self):
+        """The shard_map supervised train step == reference DDP semantics:
+        per-shard losses (local normalization, fold_in(rng, shard) sampling)
+        with pmean-averaged gradients feeding one optimizer update.  The
+        expectation is computed manually shard-by-shard."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from hnd_ghnd_tpu.models.factory import get_model
+        from hnd_ghnd_tpu.parallel.mesh import (build_optimizer,
+                                                images_to_compute,
+                                                make_detection_train_step,
+                                                make_mesh_for_batch,
+                                                put_batch)
+
+        model_cfg = {"name": "faster_rcnn",
+                     "backbone": {"name": "resnet18",
+                                  "params": {"pretrained": False}},
+                     "params": {"num_classes": 5, "pretrained": False}}
+        model, params, state = get_model(model_cfg, seed=0)
+        opt, _ = build_optimizer(
+            {"type": "SGD", "params": {"lr": 0.01, "momentum": 0.9}})
+        opt_state = opt.init(params)
+
+        b, h, w, g = 4, 96, 96, 3
+        rnd = np.random.RandomState(0)
+        images = jnp.asarray(rnd.rand(b, h, w, 3).astype(np.float32))
+        sizes = jnp.asarray([[h, w]] * b, jnp.int32)
+        batch = {"images": images, "image_sizes": sizes,
+                 "original_sizes": sizes}
+        x1 = rnd.uniform(0, 40, (b, g, 1))
+        y1 = rnd.uniform(0, 40, (b, g, 1))
+        wh = rnd.uniform(10, 40, (b, g, 2))
+        boxes = np.concatenate(
+            [x1, y1, x1 + wh[..., :1], y1 + wh[..., 1:]], -1)
+        targets = {"boxes": jnp.asarray(boxes, jnp.float32),
+                   "labels": jnp.ones((b, g), jnp.int32),
+                   "boxes_valid": jnp.ones((b, g), bool)}
+        rng = jax.random.PRNGKey(5)
+
+        # ------------------------------------------ manual DDP expectation
+        def local(shard):
+            sl = slice(shard * 2, shard * 2 + 2)
+            cb = {k: v[sl] for k, v in batch.items()}
+            ct = {k: v[sl] for k, v in targets.items()}
+            r = jax.random.fold_in(rng, shard)
+            cb = dict(cb, images=images_to_compute(cb["images"],
+                                                   jnp.float32))
+
+            def loss_fn(p):
+                losses, new_state, _ = model.forward(
+                    p, state, cb, training=True, targets=ct, rng=r)
+                return sum(losses.values()), (losses, new_state)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        (l0, _), g0 = local(0)
+        (l1, _), g1 = local(1)
+        grads = jax.tree_util.tree_map(lambda a, c: (a + c) / 2, g0, g1)
+        updates, _ = opt.update(grads, opt_state, params)
+        params_exp = optax.apply_updates(params, updates)
+        loss_exp = float((l0 + l1) / 2)
+
+        # ----------------------------------------------- shard_map actual
+        mesh = make_mesh_for_batch(2, jax.devices()[:2])
+        assert mesh.size == 2
+        step = make_detection_train_step(model, opt, (), mesh=mesh,
+                                         compute_dtype=jnp.float32)
+        loss_s, _, params_s, _, _ = step(
+            params, state, opt_state, put_batch(batch, mesh),
+            put_batch(targets, mesh), rng)
+
+        np.testing.assert_allclose(float(loss_s), loss_exp, rtol=1e-5)
+        for a, e in zip(jax.tree_util.tree_leaves(params_s),
+                        jax.tree_util.tree_leaves(params_exp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=2e-5, atol=1e-6)

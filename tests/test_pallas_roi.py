@@ -274,20 +274,20 @@ class TestPallasRoiAlign:
             err = float(jnp.max(jnp.abs(gx - gp)))
             assert err < 2e-4 * scale, f"grad err {err} vs scale {scale}"
 
-    def test_multi_device_train_step_demotes_pallas_pool(self):
-        """GSPMD cannot partition pallas_call: building the supervised
-        train step over a >1-device mesh must fall back to xla pooling
-        (shallow copy — the caller's model keeps its impl)."""
+    def test_multi_device_train_step_uses_shard_map(self):
+        """The supervised train step over a >1-device mesh runs under
+        shard_map (GSPMD cannot partition pallas_call) — the builder must
+        accept a multi-device mesh with a pallas-configured model and
+        return a jitted step.  Numerical DDP parity is covered by
+        tests/test_multiprocess.py::TestShardedDetectionTrainStep."""
         from hnd_ghnd_tpu.models.factory import build_model
-        from hnd_ghnd_tpu.parallel.mesh import (_demote_pallas_pool_for_mesh,
-                                                make_mesh)
+        from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
+                                                make_detection_train_step)
         m = build_model({"name": "faster_rcnn",
                          "backbone": {"name": "resnet18", "params": {}},
                          "params": {"roi_pool_impl": "pallas"}})
         mesh = make_mesh()
         assert mesh.size > 1  # conftest forces 8 virtual CPU devices
-        demoted = _demote_pallas_pool_for_mesh(m, mesh)
-        assert demoted.roi_heads.cfg.roi_pool_impl == "xla"
-        assert m.roi_heads.cfg.roi_pool_impl == "pallas"  # original intact
-        # size-1 mesh and xla-configured models pass through unchanged
-        assert _demote_pallas_pool_for_mesh(m, None) is m
+        opt, _ = build_optimizer({"type": "SGD", "params": {"lr": 0.01}})
+        step = make_detection_train_step(m, opt, (), mesh=mesh)
+        assert callable(step)
