@@ -30,6 +30,20 @@ Params = Dict[str, Any]
 
 _MAGIC = b"HGW1"  # hnd-ghnd wire format v1
 
+# The wire crosses a real network boundary (edge -> server), so the decoder
+# must fail clean on malformed input instead of reshaping attacker-controlled
+# bytes into whatever the header claims.  Only these payload dtypes are ever
+# produced by head_fn (8-bit quant, fp16 wire, fp32 no-quant):
+_WIRE_DTYPES = ("uint8", "float16", "float32")
+_MAX_META_BYTES = 1 << 20          # metadata is a few hundred bytes in practice
+_MAX_TENSOR_BYTES = 1 << 31        # 2 GB — far above any real bottleneck
+
+
+class WireError(ValueError):
+    """Malformed split-wire packet (bad magic / truncation / inconsistent
+    metadata).  The server tail raises this instead of crashing deeper in
+    numpy/XLA on attacker-controlled bytes."""
+
 
 class WirePacket(NamedTuple):
     """What crosses the edge->server boundary (plus static bucket shape
@@ -56,17 +70,79 @@ def pack_wire(p: WirePacket) -> bytes:
     return _MAGIC + struct.pack("<I", len(mb)) + mb + body
 
 
+def _sizes_array(meta: dict, key: str, batch: int) -> np.ndarray:
+    try:
+        arr = np.asarray(meta[key], np.int32)
+    except (KeyError, TypeError, ValueError, OverflowError) as e:
+        raise WireError(f"wire metadata `{key}` is not an int array") from e
+    if arr.shape != (batch, 2) or (arr <= 0).any():
+        raise WireError(f"wire metadata `{key}` has shape {arr.shape}, "
+                        f"expected ({batch}, 2) of positive sizes")
+    return arr
+
+
 def unpack_wire(buf: bytes) -> WirePacket:
-    assert buf[:4] == _MAGIC, "bad wire magic"
+    """Decode (and validate) a wire packet.
+
+    Every corruption class fails with ``WireError`` before any bytes are
+    interpreted as tensor data: wrong magic, truncated header/metadata/body,
+    oversized or non-JSON metadata, dtypes outside the head's output set,
+    and shape metadata inconsistent with the body length.
+    """
+    if len(buf) < 8:
+        raise WireError(f"wire packet truncated: {len(buf)} bytes < 8-byte header")
+    if buf[:4] != _MAGIC:
+        raise WireError(f"bad wire magic {buf[:4]!r} (expected {_MAGIC!r})")
     (mlen,) = struct.unpack("<I", buf[4:8])
-    meta = json.loads(buf[8:8 + mlen].decode())
-    body = np.frombuffer(buf[8 + mlen:], dtype=np.dtype(meta["dtype"]))
-    tensor = body.reshape(meta["shape"])
-    ext = meta["ext"]
-    return WirePacket(tensor, meta["scale"], meta["zero_point"],
-                      np.asarray(meta["image_sizes"], np.int32),
-                      np.asarray(meta["original_sizes"], np.int32),
-                      None if ext is None else np.asarray(ext, np.float32))
+    if mlen > _MAX_META_BYTES:
+        raise WireError(f"wire metadata length {mlen} exceeds "
+                        f"{_MAX_META_BYTES} byte cap")
+    if len(buf) < 8 + mlen:
+        raise WireError(f"wire packet truncated inside metadata "
+                        f"({len(buf)} bytes, header claims {mlen})")
+    try:
+        meta = json.loads(buf[8:8 + mlen].decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise WireError("wire metadata is not valid JSON") from e
+    if not isinstance(meta, dict):
+        raise WireError("wire metadata is not a JSON object")
+
+    dtype_name = meta.get("dtype")
+    if dtype_name not in _WIRE_DTYPES:
+        raise WireError(f"wire dtype {dtype_name!r} not in {_WIRE_DTYPES}")
+    dtype = np.dtype(dtype_name)
+    shape = meta.get("shape")
+    if (not isinstance(shape, list) or len(shape) != 4
+            or not all(isinstance(d, int) and d > 0 for d in shape)):
+        raise WireError(f"wire tensor shape {shape!r} is not a positive "
+                        "4-entry [B, H, W, C] list")
+    nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize
+    if nbytes > _MAX_TENSOR_BYTES:
+        raise WireError(f"wire tensor claims {nbytes} bytes, above the "
+                        f"{_MAX_TENSOR_BYTES} cap")
+    body = buf[8 + mlen:]
+    if len(body) != nbytes:
+        raise WireError(f"wire body is {len(body)} bytes but shape/dtype "
+                        f"metadata implies {nbytes}")
+    try:
+        scale = float(meta["scale"])
+        zero_point = float(meta["zero_point"])
+    except (KeyError, TypeError, ValueError) as e:
+        raise WireError("wire scale/zero_point missing or non-numeric") from e
+    tensor = np.frombuffer(body, dtype=dtype).reshape(shape)
+    image_sizes = _sizes_array(meta, "image_sizes", shape[0])
+    original_sizes = _sizes_array(meta, "original_sizes", shape[0])
+    ext = meta.get("ext")
+    if ext is not None:
+        try:
+            ext = np.asarray(ext, np.float32)
+        except (TypeError, ValueError) as e:
+            raise WireError("wire ext logits are not a float array") from e
+        if ext.shape != (shape[0], 2):
+            raise WireError(f"wire ext logits have shape {ext.shape}, "
+                            f"expected ({shape[0]}, 2)")
+    return WirePacket(tensor, scale, zero_point, image_sizes, original_sizes,
+                      ext)
 
 
 def _split_head_params(params: Params) -> Params:
@@ -298,14 +374,31 @@ class JpegInputSplit:
         detector; boxes are returned in original-image coordinates."""
         from PIL import Image
 
-        assert wire[:4] == _MAGIC_JPEG, "bad jpeg-wire magic"
+        if len(wire) < 8:
+            raise WireError("jpeg-wire packet truncated before header")
+        if wire[:4] != _MAGIC_JPEG:
+            raise WireError(f"bad jpeg-wire magic {wire[:4]!r}")
         (mlen,) = struct.unpack("<I", wire[4:8])
-        meta = json.loads(wire[8:8 + mlen].decode())
-        image_sizes = np.asarray(meta["image_sizes"], np.int32)
-        original_sizes = np.asarray(meta["original_sizes"], np.int32)
+        if mlen > _MAX_META_BYTES or len(wire) < 8 + mlen:
+            raise WireError("jpeg-wire metadata truncated or oversized")
+        try:
+            meta = json.loads(wire[8:8 + mlen].decode())
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise WireError("jpeg-wire metadata is not valid JSON") from e
+        lengths = meta.get("lengths")
+        if (not isinstance(lengths, list)
+                or not all(isinstance(n, int) and n >= 0 for n in lengths)):
+            raise WireError("jpeg-wire lengths metadata malformed")
+        if sum(lengths) != len(wire) - 8 - mlen:
+            raise WireError("jpeg-wire body length disagrees with metadata")
+        batch = len(lengths)
+        image_sizes = _sizes_array(meta, "image_sizes", batch)
+        original_sizes = _sizes_array(meta, "original_sizes", batch)
         bh, bw = bucket_hw
+        if (image_sizes[:, 0] > bh).any() or (image_sizes[:, 1] > bw).any():
+            raise WireError("jpeg-wire image sizes exceed the bucket")
         body = wire[8 + mlen:]
-        images = np.zeros((len(meta["lengths"]), bh, bw, 3), np.float32)
+        images = np.zeros((batch, bh, bw, 3), np.float32)
         off = 0
         for i, n in enumerate(meta["lengths"]):
             import io as _io

@@ -182,3 +182,135 @@ class TestJpegInputSplit:
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(dets["valid"]),
                                       np.asarray(direct["valid"]))
+
+
+class TestMalformedWire:
+    """The wire crosses a real network boundary: every corruption class must
+    fail with WireError before any byte is interpreted as tensor data
+    (reference boundary: the head output tuple, split_rcnn.py:23-37)."""
+
+    def _good_packet(self):
+        from hnd_ghnd_tpu.split.deploy import WirePacket, pack_wire
+        t = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(1, 6, 4, 3)
+        return pack_wire(WirePacket(
+            t, 0.5, 3.0, np.asarray([[96, 128]], np.int32),
+            np.asarray([[48, 64]], np.int32),
+            np.asarray([[0.1, 0.9]], np.float32)))
+
+    def test_good_packet_decodes(self):
+        from hnd_ghnd_tpu.split.deploy import unpack_wire
+        p = unpack_wire(self._good_packet())
+        assert p.tensor.shape == (1, 6, 4, 3)
+
+    def test_bad_magic(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        buf = b"XXXX" + self._good_packet()[4:]
+        with pytest.raises(WireError, match="magic"):
+            unpack_wire(buf)
+
+    def test_truncated_header(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="truncated"):
+            unpack_wire(b"HGW")
+
+    def test_truncated_metadata(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="truncated"):
+            unpack_wire(self._good_packet()[:10])
+
+    def test_truncated_body(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        buf = self._good_packet()
+        with pytest.raises(WireError, match="body"):
+            unpack_wire(buf[:-5])
+
+    def test_oversized_body(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="body"):
+            unpack_wire(self._good_packet() + b"\x00" * 8)
+
+    def test_oversized_meta_length(self):
+        import struct
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        buf = self._good_packet()
+        evil = buf[:4] + struct.pack("<I", 1 << 24) + buf[8:]
+        with pytest.raises(WireError, match="cap|truncated"):
+            unpack_wire(evil)
+
+    def test_non_json_metadata(self):
+        import struct
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        mb = b"\xff\xfe not json"
+        buf = b"HGW1" + struct.pack("<I", len(mb)) + mb + b"\x00" * 16
+        with pytest.raises(WireError, match="JSON"):
+            unpack_wire(buf)
+
+    def _tamper_meta(self, **kv):
+        """Re-encode the good packet with tampered metadata fields."""
+        import json
+        import struct
+        buf = self._good_packet()
+        (mlen,) = struct.unpack("<I", buf[4:8])
+        meta = json.loads(buf[8:8 + mlen].decode())
+        meta.update(kv)
+        mb = json.dumps(meta).encode()
+        return buf[:4] + struct.pack("<I", len(mb)) + mb + buf[8 + mlen:]
+
+    def test_disallowed_dtype(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="dtype"):
+            unpack_wire(self._tamper_meta(dtype="object"))
+        with pytest.raises(WireError, match="dtype"):
+            unpack_wire(self._tamper_meta(dtype="int64"))
+
+    def test_shape_body_mismatch(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="body|shape"):
+            unpack_wire(self._tamper_meta(shape=[1, 100, 100, 3]))
+
+    def test_negative_and_malformed_shape(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="shape"):
+            unpack_wire(self._tamper_meta(shape=[1, -6, 4, 3]))
+        with pytest.raises(WireError, match="shape"):
+            unpack_wire(self._tamper_meta(shape=[6, 4, 3]))
+        with pytest.raises(WireError, match="shape"):
+            unpack_wire(self._tamper_meta(shape="evil"))
+
+    def test_huge_claimed_tensor_rejected_before_alloc(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="cap|body"):
+            unpack_wire(self._tamper_meta(shape=[1 << 20, 1 << 12, 1 << 12, 3]))
+
+    def test_bad_image_sizes(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="image_sizes"):
+            unpack_wire(self._tamper_meta(image_sizes=[[0, 128]]))
+        with pytest.raises(WireError, match="image_sizes"):
+            unpack_wire(self._tamper_meta(image_sizes=[[96, 128], [96, 128]]))
+        with pytest.raises(WireError, match="image_sizes"):
+            unpack_wire(self._tamper_meta(image_sizes="evil"))
+
+    def test_bad_scale(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="scale"):
+            unpack_wire(self._tamper_meta(scale="evil"))
+
+    def test_bad_ext_logits(self):
+        from hnd_ghnd_tpu.split.deploy import WireError, unpack_wire
+        with pytest.raises(WireError, match="ext"):
+            unpack_wire(self._tamper_meta(ext=[[1.0, 2.0, 3.0]]))
+
+    def test_jpeg_wire_corruption(self):
+        import struct
+        from hnd_ghnd_tpu.split.deploy import WireError, JpegInputSplit
+
+        split = JpegInputSplit(model=None)
+        with pytest.raises(WireError, match="magic"):
+            split.run_server(None, b"XXXX" + b"\x00" * 16, (64, 96))
+        with pytest.raises(WireError, match="truncated"):
+            split.run_server(None, b"HGJ", (64, 96))
+        mb = b'{"lengths": [999], "image_sizes": [[56, 88]], "original_sizes": [[112, 176]]}'
+        buf = b"HGJ1" + struct.pack("<I", len(mb)) + mb + b"\x00" * 8
+        with pytest.raises(WireError, match="length"):
+            split.run_server(None, buf, (64, 96))
