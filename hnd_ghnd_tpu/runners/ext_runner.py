@@ -37,6 +37,13 @@ def get_argparser() -> argparse.ArgumentParser:
     parser.add_argument("-train", action="store_true")
     parser.add_argument("-test_only", action="store_true")
     parser.add_argument("--min_recall", type=float, default=0.98)
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture an XLA profiler trace of the first "
+                             "training steps into this directory")
+    parser.add_argument("--tb_dir", default=None,
+                        help="write TensorBoard scalar curves (CE loss per "
+                             "log interval; val accuracy/recall/ROC-AUC per "
+                             "epoch) into this directory")
     return parser
 
 
@@ -187,6 +194,7 @@ def main(args):
     eval_jits: Dict = {}
 
     if args.train:
+        from hnd_ghnd_tpu.utils.tensorboard import SummaryWriter
         optimizer, _ = build_optimizer(train_cfg["optimizer"],
                                        train_cfg.get("scheduler"),
                                        max(len(train_loader), 1))
@@ -195,6 +203,21 @@ def main(args):
         params_r, state_r, opt_r = (replicate(x, mesh)
                                     for x in (params, state, opt_state))
         best_auc = 0.0
+        log_freq = int(train_cfg.get("log_freq", 1000))
+        tb = SummaryWriter(getattr(args, "tb_dir", None)
+                           if multihost.is_main_process() else None)
+        profile_dir = getattr(args, "profile_dir", None)
+        profile_steps = 0
+        global_step = 0
+
+        def log_entry(logger, entry):
+            if entry is None:
+                return
+            idx, loss_val, _ = entry
+            logger.update(loss=loss_val)
+            if idx % log_freq == 0:
+                tb.add_scalar("train/loss", loss_val, idx)
+
         for epoch in range(int(train_cfg["num_epochs"])):
             train_loader.set_epoch(epoch)
             logger = MetricLogger()
@@ -202,10 +225,11 @@ def main(args):
             # blocking D2H in the hot loop
             metrics = common.StepMetrics()
             for batch, _, host in logger.log_every(
-                    train_loader, int(train_cfg.get("log_freq", 1000)),
-                    f"Epoch: [{epoch}]"):
+                    train_loader, log_freq, f"Epoch: [{epoch}]"):
                 labels = jnp.asarray([host_target_to_ext_label(t, keypoint_task)
                                       for t in host], jnp.int32)
+                if profile_dir and profile_steps == 2:  # skip compile steps
+                    jax.profiler.start_trace(profile_dir)
                 loss, params_r, state_r, opt_r = step(
                     params_r, state_r, opt_r,
                     jax.device_put(jnp.asarray(batch["images"]),
@@ -213,21 +237,32 @@ def main(args):
                                        mesh, jax.sharding.PartitionSpec("data"))),
                     jax.device_put(labels, jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec("data"))))
-                entry = metrics.push(0, loss, {})
-                if entry is not None:
-                    logger.update(loss=entry[1])
+                global_step += 1
+                log_entry(logger, metrics.push(global_step, loss, {}))
+                if profile_dir:
+                    profile_steps += 1
+                    if profile_steps == 6:
+                        jax.profiler.stop_trace()
+                        print(f"profiler trace written to {profile_dir}")
+                        profile_dir = None
             for entry in metrics.drain():
-                logger.update(loss=entry[1])
+                log_entry(logger, entry)
             probs, labels = collect_probs(model, params_r, state_r,
                                           val_loader, keypoint_task,
                                           jits=eval_jits)
-            _, _, _, auc = summarize_cls(probs, labels)
+            acc, recall, _, auc = summarize_cls(probs, labels)
+            tb.add_scalar("val/accuracy", acc, epoch)
+            tb.add_scalar("val/recall", recall, epoch)
+            if auc == auc:  # skip NaN (single-class val shard)
+                tb.add_scalar("val/roc_auc", auc, epoch)
+            tb.flush()
             if auc > best_auc and ckpt_path:
                 best_auc = auc
                 multihost.save_on_master(
                     ckpt_util.save_ckpt, ckpt_path, params=params_r,
                     state=state_r, best_value=best_auc, config=config,
                     args=vars(args))
+        tb.close()
         params, state = params_r, state_r
     elif ckpt_util.check_if_exists(ckpt_path):
         payload = ckpt_util.load_ckpt(ckpt_path)

@@ -135,12 +135,23 @@ class TestExtRunner:
         }
         cfg_path = tmp_path / "ext_cfg.yaml"
         cfg_path.write_text(yaml.safe_dump(config))
+        tb_dir = str(tmp_path / "tb")
         args = argparse.Namespace(
             config=str(cfg_path), json=None, device=None, world_size=None,
             dist_url=None, seed=0, train=True, test_only=False,
-            min_recall=0.5)
+            min_recall=0.5, tb_dir=tb_dir, profile_dir=None)
         ext_runner.main(args)
         out = capsys.readouterr().out
         assert "ROC-AUC" in out
+        # observability parity with the other runners: loss + per-epoch
+        # val curves land in TensorBoard
+        from hnd_ghnd_tpu.utils.tensorboard import read_scalars
+        events = [f for f in os.listdir(tb_dir)
+                  if f.startswith("events.out.tfevents")]
+        assert len(events) == 1
+        tags = {t for t, _, _ in read_scalars(os.path.join(tb_dir,
+                                                           events[0]))}
+        assert "train/loss" in tags
+        assert "val/accuracy" in tags and "val/recall" in tags
 
 pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"

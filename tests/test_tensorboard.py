@@ -62,3 +62,16 @@ class TestMimicRunnerFlag:
         args = get_argparser().parse_args(
             ["--config", "x.yaml", "--tb_dir", "/tmp/tb"])
         assert args.tb_dir == "/tmp/tb"
+
+
+class TestExtRunnerFlags:
+    def test_tb_and_profile_flags_exposed(self):
+        """ext_runner observability parity with mimic/coco runners
+        (src/ext_runner.py has no such surface; ROC-AUC per epoch is the
+        curve that drives its model selection)."""
+        from hnd_ghnd_tpu.runners.ext_runner import get_argparser
+        args = get_argparser().parse_args(
+            ["--config", "x.yaml", "--tb_dir", "/tmp/tb",
+             "--profile_dir", "/tmp/prof"])
+        assert args.tb_dir == "/tmp/tb"
+        assert args.profile_dir == "/tmp/prof"
