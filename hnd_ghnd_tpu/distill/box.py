@@ -106,4 +106,9 @@ class DistillationBox:
                 rng=rng)
 
         total, loss_dict = self.criterion(output_dict, org_loss_dict)
+        if org_loss_dict:
+            # surface the task-loss terms in the logged dict (the criterion
+            # only folds them into the scalar, loss.py:31-34 analog)
+            loss_dict = dict(loss_dict,
+                             **{f"org_{k}": v for k, v in org_loss_dict.items()})
         return total, (loss_dict, new_s_state)

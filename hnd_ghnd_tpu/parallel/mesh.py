@@ -162,33 +162,85 @@ def make_distill_train_step(box: DistillationBox, optimizer,
                             donate: bool = True):
     """Build the jitted HND/GHND step.
 
-    step(t_params, t_state, s_params, s_state, opt_state, batch, rng)
-      -> (loss, loss_dict, new_s_params, new_s_state, new_opt_state)
+    When ``criterion.org_loss_factor == 0`` (all 27 shipped reference
+    configs):
+
+      step(t_params, t_state, s_params, s_state, opt_state, batch, rng)
+        -> (loss, loss_dict, new_s_params, new_s_state, new_opt_state)
 
     Gradient sync across the mesh's data axis is implicit: the loss is a
     global sum over the sharded batch, so XLA emits the psum. Frozen modules
     (YAML ``frozen_modules``) get zero gradients — requires_grad=False in
     functional form.
+
+    When ``org_loss_factor != 0`` the reference's criterion adds
+    ``factor × Σ task losses`` from a full student forward with targets
+    (src/distillation/loss.py:31-34; tool.py:49-58 feeds the targets), so
+    the step takes one extra positional argument:
+
+      step(t_params, t_state, s_params, s_state, opt_state, batch,
+           targets, rng)
+
+    On a >1-device mesh that variant runs under ``shard_map`` with
+    reference-DDP semantics (per-shard losses, ``fold_in(rng, shard)``
+    proposal sampling, pmean-averaged gradients) exactly like
+    :func:`make_detection_train_step` — the student's training forward
+    pools RoIs through a ``pallas_call`` that GSPMD cannot partition.
     """
-    def step(t_params, t_state, s_params, s_state, opt_state, batch, rng):
+    use_org = box.use_org_loss
+
+    def local_step(t_params, t_state, s_params, s_state, opt_state, batch,
+                   targets, rng, axis: Optional[str]):
         mask = trainable_mask(s_params, frozen_modules)
         images = images_to_compute(batch["images"], compute_dtype)
         cast_batch = dict(batch, images=images)
+        if axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_fn(sp):
             total, (loss_dict, new_s_state) = box.loss(
-                t_params, t_state, sp, s_state, cast_batch, rng=rng)
+                t_params, t_state, sp, s_state, cast_batch,
+                targets=targets, rng=rng)
             return total, (loss_dict, new_s_state)
 
         (loss, (loss_dict, new_s_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(s_params)
+        if axis is not None:
+            pmean = functools.partial(jax.lax.pmean, axis_name=axis)
+            loss, loss_dict, grads = jax.tree_util.tree_map(
+                pmean, (loss, loss_dict, grads))
+            new_s_state = jax.tree_util.tree_map(
+                lambda x: pmean(x) if jnp.issubdtype(x.dtype, jnp.inexact)
+                else x, new_s_state)
         grads = apply_grad_mask(grads, mask)
         updates, new_opt_state = optimizer.update(grads, opt_state, s_params)
         new_s_params = optax.apply_updates(s_params, updates)
         return loss, loss_dict, new_s_params, new_s_state, new_opt_state
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(2, 3, 4) if donate else ())
+    if use_org:
+        def step(t_params, t_state, s_params, s_state, opt_state, batch,
+                 targets, rng):
+            return local_step(t_params, t_state, s_params, s_state,
+                              opt_state, batch, targets, rng, None)
+    else:
+        def step(t_params, t_state, s_params, s_state, opt_state, batch,
+                 rng):
+            return local_step(t_params, t_state, s_params, s_state,
+                              opt_state, batch, None, rng, None)
+
+    donate_args = (2, 3, 4) if donate else ()
+    if mesh is None or mesh.size <= 1:
+        return jax.jit(step, donate_argnums=donate_args)
+
+    if use_org:
+        axis = mesh.axis_names[0]
+        sharded = jax.shard_map(
+            functools.partial(local_step, axis=axis),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False)  # pallas_call has no vma rule; pmean replicates
+        return jax.jit(sharded, donate_argnums=donate_args)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -198,7 +250,7 @@ def make_distill_train_step(box: DistillationBox, optimizer,
                       {"images": data, "image_sizes": data,
                        "original_sizes": data}, repl),
         out_shardings=(repl, repl, repl, repl, repl),
-        donate_argnums=(2, 3, 4) if donate else (),
+        donate_argnums=donate_args,
     )
 
 

@@ -115,16 +115,24 @@ def distill(teacher_pack, student_pack, config, args, mesh,
         logger = MetricLogger()
         metrics = common.StepMetrics()
         header = f"Epoch: [{epoch}]"
-        for batch, _, _ in logger.log_every(train_loader, log_freq, header):
+        for batch, targets, _ in logger.log_every(train_loader, log_freq,
+                                                  header):
             rng, key = jax.random.split(rng)
             if profile_dir and profile_steps == 2:  # skip compile steps
                 jax.profiler.start_trace(profile_dir)
             # batch stays host-side numpy: put_batch device_puts it
             # with the right sharding directly (a jnp.asarray here would
             # cost an extra device->host hop in multi-process runs)
-            loss, loss_dict, s_params, s_state, opt_state = step(
-                t_params, t_state, s_params, s_state, opt_state,
-                put_batch(batch, mesh), key)
+            if box.use_org_loss:
+                # org_loss_factor != 0: the step takes the padded targets
+                # (reference tool.py:49-58 feeds them to the student)
+                loss, loss_dict, s_params, s_state, opt_state = step(
+                    t_params, t_state, s_params, s_state, opt_state,
+                    put_batch(batch, mesh), put_batch(targets, mesh), key)
+            else:
+                loss, loss_dict, s_params, s_state, opt_state = step(
+                    t_params, t_state, s_params, s_state, opt_state,
+                    put_batch(batch, mesh), key)
             global_step += 1
             log_entry(logger, metrics.push(global_step, loss, loss_dict))
             if profile_dir:
