@@ -30,6 +30,7 @@ from hnd_ghnd_tpu.split.deploy import SplitRCNN, _split_head_params, _split_tail
 
 FORMAT = "hnd-ghnd-split-v1"
 FORMAT_SET = "hnd-ghnd-splitset-v2"
+FORMAT_SHARDED = "hnd-ghnd-sharded-tail-v1"
 
 
 def export_split(model, params, state, bucket_hw: Tuple[int, int],
@@ -142,11 +143,122 @@ class ExportedSplitSet:
                                                image_sizes)
 
 
+def export_sharded_tail(model, params, state, bucket_hw: Tuple[int, int],
+                        mesh, batch_per_shard: int = 1,
+                        quant_bits: Optional[int] = 8) -> bytes:
+    """Serving TAIL exported over a DEVICE MESH (the multi-chip serving
+    artifact of ROADMAP #13).
+
+    Deployment picture: n edge devices each send one wire packet
+    (``batch_per_shard`` images quantized with that edge's own scale —
+    the reference wire tuple, split_rcnn.py:23-37); the server holds an
+    n-device mesh and batches the packets along the data axis.  The tail
+    runs under ``jax.shard_map`` — one shard per device — because the RoI
+    pooling inside is a ``pallas_call`` on TPU, which GSPMD cannot
+    partition but per-shard SPMD runs unchanged (the same constraint that
+    shaped sharded eval and the shard_map train steps).
+
+    The exported artifact embeds the mesh size; deserialization requires a
+    same-size mesh (``ExportedShardedTail.call`` takes it explicitly).
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    split = SplitRCNN(model, quant_bits)
+    head_params = _split_head_params(params)
+    tail_params = _split_tail_params(params)
+    l1_state = {"backbone": {"body": {
+        "layer1": state["backbone"]["body"]["layer1"]}}}
+
+    h, w = bucket_hw
+    n = mesh.size
+    axis = mesh.axis_names[0]
+    images_spec = jax.ShapeDtypeStruct((batch_per_shard, h, w, 3),
+                                       jnp.float32)
+    q_aval, s_aval, zp_aval, _ = jax.eval_shape(
+        lambda im: split.head_fn(head_params, l1_state, im), images_spec)
+
+    def tail_local(q, s, zp, sz):
+        # per-device shard: q [batch_per_shard, ...], s/zp [1] (this
+        # shard's packet scale), sz [batch_per_shard, 2]
+        return split.tail_fn(tail_params, l1_state, q, s[0], zp[0], sz,
+                             (h, w))
+
+    sharded = jax.shard_map(
+        tail_local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False)  # pallas_call has no vma rule (mesh.py precedent)
+
+    data = NamedSharding(mesh, P(axis))
+    tail_exp = jexport.export(jax.jit(sharded))(
+        jax.ShapeDtypeStruct((n * batch_per_shard,) + q_aval.shape[1:],
+                             q_aval.dtype, sharding=data),
+        jax.ShapeDtypeStruct((n,), s_aval.dtype, sharding=data),
+        jax.ShapeDtypeStruct((n,), zp_aval.dtype, sharding=data),
+        jax.ShapeDtypeStruct((n * batch_per_shard, 2), jnp.int32,
+                             sharding=data))
+
+    return pickle.dumps({
+        "format": FORMAT_SHARDED,
+        "bucket_hw": (h, w),
+        "n_devices": n,
+        "axis_name": axis,
+        "batch_per_shard": batch_per_shard,
+        "quant_bits": quant_bits,
+        "tail": tail_exp.serialize(),
+        "meta": {
+            "kind": model.kind,
+            "num_classes": model.num_classes,
+            "bottleneck_channel": getattr(model.bottleneck, "bch", None),
+        },
+    })
+
+
+class ExportedShardedTail:
+    """Deserialized mesh-sharded tail — callable without model code on any
+    mesh of the recorded size."""
+
+    def __init__(self, blob):
+        payload = blob if isinstance(blob, dict) else pickle.loads(blob)
+        assert payload["format"] == FORMAT_SHARDED, "unknown artifact format"
+        self.bucket_hw = payload["bucket_hw"]
+        self.n_devices = payload["n_devices"]
+        self.axis_name = payload["axis_name"]
+        self.batch_per_shard = payload["batch_per_shard"]
+        self.quant_bits = payload["quant_bits"]
+        self.meta = payload["meta"]
+        self._tail = jexport.deserialize(payload["tail"])
+
+    def call(self, mesh, q, scales, zero_points, image_sizes):
+        """Run the sharded tail on ``mesh`` (must match the exported size).
+
+        q: [n*batch_per_shard, H', W', C'] wire tensors (edge order),
+        scales/zero_points: [n] per-edge quantization params,
+        image_sizes: [n*batch_per_shard, 2].  Inputs are device_put with
+        the embedded data-axis sharding before the call.
+        """
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if mesh.size != self.n_devices:
+            raise ValueError(
+                f"artifact was exported for {self.n_devices} devices; "
+                f"got a mesh of {mesh.size}")
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        args = [jax.device_put(jnp.asarray(a), data)
+                for a in (q, scales, zero_points,
+                          jnp.asarray(image_sizes, jnp.int32))]
+        return self._tail.call(*args)
+
+
 def load_exported(blob: bytes):
     """Load either a single-bucket (v1) or bucket-set (v2) artifact."""
     payload = pickle.loads(blob)
     if payload.get("format") == FORMAT_SET:
         return ExportedSplitSet(payload)
+    if payload.get("format") == FORMAT_SHARDED:
+        return ExportedShardedTail(payload)
     return ExportedSplit(payload)
 
 

@@ -59,6 +59,65 @@ pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "
 
 
 @pytest.mark.slow
+class TestExportedShardedTail:
+    """VERDICT r4 #4: the multi-device serving artifact.  The tail exported
+    under shard_map over an n-device mesh must reproduce, per shard, the
+    single-device tail run on that shard's packet — including per-edge
+    quantization scales."""
+
+    def test_sharded_tail_matches_per_shard_oracle(self, student):
+        from hnd_ghnd_tpu.parallel.mesh import make_mesh
+        from hnd_ghnd_tpu.split.export import (ExportedShardedTail,
+                                               export_sharded_tail,
+                                               load_exported)
+
+        model, params, state = student
+        n = 2
+        mesh = make_mesh(jax.devices()[:n])
+        blob = export_sharded_tail(model, params, state, BUCKET, mesh,
+                                   batch_per_shard=1, quant_bits=8)
+        loaded = load_exported(blob)
+        assert isinstance(loaded, ExportedShardedTail)
+        assert loaded.n_devices == n and loaded.bucket_hw == BUCKET
+
+        split = SplitRCNN(model, 8)
+        head_jit, tail_call, _ = split.build(params, state)
+        rng = np.random.RandomState(1)
+        qs, ss, zps, szs, oracle = [], [], [], [], []
+        sizes = jnp.asarray([[96, 128]], jnp.int32)
+        for _ in range(n):
+            images = jnp.asarray(
+                rng.rand(1, BUCKET[0], BUCKET[1], 3).astype(np.float32))
+            q, s, zp, _ = head_jit(images)
+            want = tail_call(q, s, zp, sizes, BUCKET)
+            qs.append(np.asarray(q))
+            ss.append(float(s))
+            zps.append(float(zp))
+            szs.append(np.asarray(sizes))
+            oracle.append({k: np.asarray(v) for k, v in want.items()})
+        assert ss[0] != ss[1]  # per-edge scales genuinely differ
+
+        got = loaded.call(mesh, np.concatenate(qs),
+                          np.asarray(ss, np.float32),
+                          np.asarray(zps, np.float32), np.concatenate(szs))
+        got = {k: np.asarray(v) for k, v in got.items()}
+        for i in range(n):
+            np.testing.assert_allclose(got["boxes"][i],
+                                       oracle[i]["boxes"][0],
+                                       rtol=1e-4, atol=1e-3)
+            np.testing.assert_allclose(got["scores"][i],
+                                       oracle[i]["scores"][0],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_array_equal(got["labels"][i],
+                                          oracle[i]["labels"][0])
+
+        with pytest.raises(ValueError, match="exported for 2 devices"):
+            loaded.call(make_mesh(jax.devices()[:1]), np.concatenate(qs),
+                        np.asarray(ss, np.float32),
+                        np.asarray(zps, np.float32), np.concatenate(szs))
+
+
+@pytest.mark.slow
 class TestExportedSplitSet:
     def test_bucket_set_roundtrip_and_dispatch(self, student):
         import numpy as np
