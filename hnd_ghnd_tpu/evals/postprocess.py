@@ -113,4 +113,19 @@ def finalize_predictions(dets: Dict[str, np.ndarray], image_index: int,
         kps, kp_scores = heatmaps_to_keypoints(hm, bm, (oh / ih, ow / iw))
         out["keypoints"] = kps
         out["keypoints_scores"] = kp_scores
+    elif "kp_u" in dets:
+        # device-side decode (ops/kp_decode.py): the argmax already happened
+        # on device over the statically-upsampled cubic surface; only the
+        # [D, K] source-space positions cross to host, and the image-space
+        # mapping below is the identical one torchvision applies
+        from hnd_ghnd_tpu.ops.kp_decode import keypoints_from_device_argmax
+        bm = _f32(dets["boxes_model"][image_index])[valid]
+        ih, iw = image_size
+        kps, kp_scores = keypoints_from_device_argmax(
+            _f32(dets["kp_u"][image_index])[valid],
+            _f32(dets["kp_v"][image_index])[valid],
+            _f32(dets["kp_score"][image_index])[valid],
+            bm, (oh / ih, ow / iw))
+        out["keypoints"] = kps
+        out["keypoints_scores"] = kp_scores
     return out

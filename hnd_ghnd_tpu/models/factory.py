@@ -79,7 +79,12 @@ def build_model(model_config: Dict[str, Any]) -> RCNN:
                 int8_roi_pool=bool(params_cfg.get("int8_roi_pool", False)),
                 # eval-path RoIAlign program: "pallas" = window-DMA kernel
                 # (ops/pallas_roi.py), "xla" = row-gather program
-                roi_pool_impl=str(params_cfg.get("roi_pool_impl", "auto")))
+                roi_pool_impl=str(params_cfg.get("roi_pool_impl", "auto")),
+                # keypoint heatmap decode: "host" (torchvision-exact) or
+                # "device" (static-grid argmax on the same cubic surface,
+                # ops/kp_decode.py; BASELINE.md round-5 exactness numbers)
+                kp_decode=str(params_cfg.get("kp_decode", "host")),
+                kp_decode_grid=int(params_cfg.get("kp_decode_grid", 224)))
 
 
 def init_model(model: RCNN, seed: int = 0):

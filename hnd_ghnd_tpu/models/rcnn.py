@@ -50,7 +50,9 @@ class RCNN:
                  rpn_cfg: Optional[RPNConfig] = None,
                  ext_threshold: Optional[float] = None,
                  int8_roi_pool: bool = False,
-                 roi_pool_impl: str = "xla"):
+                 roi_pool_impl: str = "xla",
+                 kp_decode: str = "host",
+                 kp_decode_grid: int = 224):
         assert kind in ("faster_rcnn", "mask_rcnn", "keypoint_rcnn")
         self.kind = kind
         self.body = ResNetBody(backbone_name, injected_layer1=bottleneck)
@@ -63,6 +65,8 @@ class RCNN:
             num_keypoints=num_keypoints,
             int8_pool=int8_roi_pool,
             roi_pool_impl=roi_pool_impl,
+            kp_decode=kp_decode,
+            kp_decode_grid=kp_decode_grid,
         )
         self.roi_heads = RoIHeads(roi_cfg)
         self.ext_threshold = ext_threshold

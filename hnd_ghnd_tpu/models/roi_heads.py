@@ -28,6 +28,7 @@ from hnd_ghnd_tpu.ops import boxes as box_ops
 from hnd_ghnd_tpu.ops import nms as nms_ops
 from hnd_ghnd_tpu.ops.pallas_roi import (
     pallas_multiscale_roi_align_batch, pallas_multiscale_roi_align_batch_vjp)
+from hnd_ghnd_tpu.ops import kp_decode as kp_decode_ops
 from hnd_ghnd_tpu.ops.roi_align import (multiscale_roi_align,
                                         multiscale_roi_align_batch,
                                         quantize_fpn_levels)
@@ -65,6 +66,15 @@ class RoIConfig(NamedTuple):
     # (Mosaic-interpret pooling would crawl on CPU).  Measured batch-8
     # 832x1344 bf16: full eval 160.9 -> 69.8 ms (BASELINE.md round-4).
     roi_pool_impl: str = "auto"
+    # keypoint heatmap decode (model params `kp_decode`): "host" = exact
+    # torchvision semantics (per-box dynamic bicubic resize on host,
+    # evals/postprocess.heatmaps_to_keypoints), "device" = argmax over the
+    # same cubic surface on a static kp_decode_grid^2 MXU-upsampled grid
+    # (ops/kp_decode.py) — quantization-equivalent geometry, ~1000x less
+    # D2H payload ([B,D,K]x3 scalars instead of [B,D,56,56,K] heatmaps).
+    # Measured exactness + rates: BASELINE.md round-5.
+    kp_decode: str = "host"
+    kp_decode_grid: int = 224
 
     def resolved_pool_impl(self) -> str:
         if self.roi_pool_impl == "auto":
@@ -306,8 +316,15 @@ class RoIHeads:
             kp_logits = self.keypoint_head.apply(
                 params["keypoint_head"],
                 pooled.reshape((b * d,) + pooled.shape[2:]))
-            out["keypoint_logits"] = kp_logits.reshape(
-                (b, d) + kp_logits.shape[1:])
+            kp_logits = kp_logits.reshape((b, d) + kp_logits.shape[1:])
+            if cfg.kp_decode == "device":
+                u, v, kp_score = kp_decode_ops.device_keypoint_argmax(
+                    kp_logits, grid=cfg.kp_decode_grid)
+                out["kp_u"] = u
+                out["kp_v"] = v
+                out["kp_score"] = kp_score
+            else:
+                out["keypoint_logits"] = kp_logits
 
         return out
 
