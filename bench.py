@@ -100,6 +100,33 @@ def main():
 
     img_s = BATCH * ITERS / dt
 
+    # On-chip rate: the tunneled backend charges ~28 ms of per-dispatch
+    # overhead to this executable (round-5 bwd_bench fwd_both/distill
+    # interleaved A/B) that a real TPU host (~sub-ms dispatch) would not
+    # pay.  Two steps per dispatch amortize it; the gap is the tunnel's,
+    # not the chip's.
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+    def step2(tp, ts, sp, ss, os_, batch, key):
+        l1, _, sp, ss, os_ = step(tp, ts, sp, ss, os_, batch, key)
+        l2, _, sp, ss, os_ = step(tp, ts, sp, ss, os_, batch, key)
+        return l1 + l2, sp, ss, os_
+
+    try:
+        tot, sp, ss, os_ = step2(t_params, t_state, sp, ss, os_, batch, key)
+        float(tot)  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(max(ITERS // 2, 2)):
+            tot, sp, ss, os_ = step2(t_params, t_state, sp, ss, os_, batch,
+                                     key)
+        float(tot)
+        dt2 = time.perf_counter() - t0
+        onchip_img_s = BATCH * 2 * max(ITERS // 2, 2) / dt2
+    except Exception:
+        onchip_img_s = None  # never lose the bench line to the extra stage
+
     # The PRODUCT number (VERDICT r3 weak #7): the same measurement run
     # through the SHIPPED mimic_runner.distill loop (MetricLogger,
     # StepMetrics, put_batch, ckpt bookkeeping), timed over the epoch-2
@@ -119,6 +146,8 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / V100_BASELINE_IMG_S, 2),
         "raw_step_img_s": round(img_s, 2),
+        "onchip_step_img_s": (round(onchip_img_s, 2)
+                              if onchip_img_s else None),
         "loop": "mimic_runner.distill epoch-2 window",
     }))
 

@@ -40,9 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 
 ALL_STAGES = ("dispatch", "step", "step_nodonate", "grad", "opt", "fwd",
-              "fwd_unrolled", "fwd_backbone", "grad_backbone", "grad_rpn",
-              "grad_roi", "grad_unrolled", "grad_backbone_unrolled",
-              "grad_rpn_unrolled", "grad_roi_unrolled", "xcost", "remat")
+              "fwd_unrolled", "fwd_both", "fwd_backbone", "grad_backbone",
+              "grad_rpn", "grad_roi", "grad_unrolled",
+              "grad_backbone_unrolled", "grad_rpn_unrolled",
+              "grad_roi_unrolled", "step_unrolled", "distill_unrolled",
+              "xcost", "remat")
 
 
 def tree_scalar(tree):
@@ -267,7 +269,8 @@ def main():
     # full-step variants were requested (the recommended one-per-process
     # chunking), free the shared trees so the variant's fresh ones are the
     # only copies resident
-    if not (stages - {"step", "step_nodonate", "remat", "dispatch"}):
+    if not (stages - {"step", "step_nodonate", "remat", "dispatch",
+                      "distill_unrolled"}):
         params = state = opt_state = None
     elif "opt" not in stages:
         opt_state = None  # ~166 MB the grad chains need back
@@ -276,9 +279,16 @@ def main():
         try:
             fn(*a, **kw)
         except Exception as e:  # OOM at this shape is itself a finding
-            msg = " | ".join(l for l in str(e).split("\n")[:40] if l)[:2000]
-            print(json.dumps({"stage": name, "error": msg,
-                              "oom": "memory" in msg.lower()}), flush=True)
+            full = str(e)
+            path = f"/tmp/bwd_err_{name}.txt"
+            with open(path, "w") as f:
+                f.write(full)
+            # the useful detail (e.g. "Ran out of memory in hbm") is at the
+            # END, after the axon compile-helper's INFO spam
+            lines = [l for l in full.split("\n") if l.strip()]
+            msg = " | ".join([lines[0]] + lines[-3:])[:1500]
+            print(json.dumps({"stage": name, "error": msg, "full": path,
+                              "oom": "memory" in full.lower()}), flush=True)
 
     if "step" in stages:
         guarded("step_donated", run_full_step, "step_donated", donate=True)
@@ -335,9 +345,125 @@ def main():
         guarded("grad_backbone_plus_roi",
                 grad_stage, "grad_backbone_plus_roi", ("roi",), donate=True)
 
+    if "fwd_both" in stages:
+        # same-process interleaved loop/unroll A/B of the loss forward —
+        # run A (loop, separate process) saw 233 ms where run B's unrolled
+        # chain saw 127; decide artifact vs drift with both in one process
+        @jax.jit
+        def ffn2(s, p):
+            return truncated_loss(perturb(p, s), ("rpn", "roi"))
+
+        @jax.jit
+        def funroll2(p):
+            s = jnp.float32(0.0)
+            for _ in range(4):
+                s = s + truncated_loss(perturb(p, s), ("rpn", "roi"))
+            return s
+
+        def one_loop():
+            return chain_scalar(ffn2, args.iters, params)
+
+        def one_unroll():
+            float(funroll2(params))
+            t0 = time.perf_counter()
+            float(funroll2(params))
+            return (time.perf_counter() - t0) / 4
+
+        seq = {}
+        for tag, fn in (("loop1", one_loop), ("unroll1", one_unroll),
+                        ("loop2", one_loop), ("unroll2", one_unroll)):
+            seq[tag] = round(fn() * 1000, 2)
+        print(json.dumps({"stage": "fwd_loop_vs_unroll_interleaved",
+                          **seq}), flush=True)
+
+    if "step_unrolled" in stages:
+        # 2 full supervised steps (incl optimizer) per dispatch: per-step
+        # time halves the dispatch share vs the 1-per-dispatch step number
+        def make_step2():
+            def loss_fn(p):
+                losses = rpn_and_roi_losses(p, backbone_fpn(
+                    p, state, images), ("rpn", "roi"))
+                return sum(jnp.asarray(v, jnp.float32)
+                           for v in losses.values())
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def step2(p, o):
+                tot = jnp.float32(0.0)
+                for _ in range(2):
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    grads = apply_grad_mask(grads, trainable_mask(p, ()))
+                    updates, o = opt.update(grads, o, p)
+                    p = optax.apply_updates(p, updates)
+                    tot = tot + loss
+                return tot, p, o
+            return step2
+
+        def run_step2():
+            step2 = make_step2()
+            p_c, _ = model.init(jax.random.PRNGKey(0))
+            o_c = opt.init(p_c)
+            tot, p_c, o_c = step2(p_c, o_c)
+            float(tot)  # compile + warm
+            t0 = time.perf_counter()
+            n = max(args.iters // 2, 2)
+            for _ in range(n):
+                tot, p_c, o_c = step2(p_c, o_c)
+            float(tot)
+            dt = (time.perf_counter() - t0) / (2 * n)
+            emit("step_unrolled2_per_step", dt,
+                 {"img_s": round(b / dt, 2)})
+        guarded("step_unrolled2_per_step", run_step2)
+
+    if "distill_unrolled" in stages:
+        # the HEADLINE check: bench.py python-loops the GHND distill step;
+        # if dispatch overhead contaminates it, 2 steps per dispatch shows
+        # a lower per-step time (the on-chip truth a real TPU host gets)
+        def run_distill2():
+            from bench import build_distill_bench
+            dstep, (tp, ts), (sp, ss, os_), dbatch, dkey = \
+                build_distill_bench()
+
+            # loop baseline (bench.py's own measurement, same process)
+            loss = None
+            sp2, ss2, os2 = sp, ss, os_
+            for _ in range(2):
+                loss, _, sp2, ss2, os2 = dstep(tp, ts, sp2, ss2, os2,
+                                               dbatch, dkey)
+            float(loss)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                loss, _, sp2, ss2, os2 = dstep(tp, ts, sp2, ss2, os2,
+                                               dbatch, dkey)
+            float(loss)
+            dt_loop = (time.perf_counter() - t0) / args.iters
+            bsz = dbatch["images"].shape[0]
+            emit("distill_step_loop", dt_loop,
+                 {"img_s": round(bsz / dt_loop, 2)})
+
+            # 2 steps per dispatch (jit-of-jit inlines the step body)
+            @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+            def dstep2(tp, ts, sp, ss, os_, batch, key):
+                l1, _, sp, ss, os_ = dstep(tp, ts, sp, ss, os_, batch, key)
+                l2, _, sp, ss, os_ = dstep(tp, ts, sp, ss, os_, batch, key)
+                return l1 + l2, sp, ss, os_
+
+            tot, sp2, ss2, os2 = dstep2(tp, ts, sp2, ss2, os2, dbatch, dkey)
+            float(tot)
+            n = max(args.iters // 2, 2)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                tot, sp2, ss2, os2 = dstep2(tp, ts, sp2, ss2, os2, dbatch,
+                                            dkey)
+            float(tot)
+            dt2 = (time.perf_counter() - t0) / (2 * n)
+            emit("distill_step_unrolled2_per_step", dt2,
+                 {"img_s": round(bsz / dt2, 2),
+                  "dispatch_share_ms": round((dt_loop - dt2) * 1000, 2)})
+        guarded("distill_step_loop", run_distill2)
+
     if "grad_unrolled" in stages:
         guarded("grad_full_unrolled", grad_stage_unrolled,
-                "grad_full_unrolled", ("rpn", "roi"), 4)
+                "grad_full_unrolled", ("rpn", "roi"), 2)
     if "grad_backbone_unrolled" in stages:
         guarded("grad_backbone_unrolled", grad_stage_unrolled,
                 "grad_backbone_unrolled", ("backbone",), 4)

@@ -36,6 +36,11 @@ def main():
                    help="after training, evaluate with BOTH RoIAlign "
                         "implementations (xla / pallas) and report both "
                         "mAPs — accuracy evidence for the auto default")
+    p.add_argument("--kp_ab", action="store_true",
+                   help="(keypoint_rcnn) after training, evaluate with the "
+                        "host heatmap decode AND the device static-grid "
+                        "decode (ops/kp_decode.py) and report both mAPs — "
+                        "exactness evidence for kp_decode: device")
     args = p.parse_args()
 
     from fixtures import make_coco_fixture
@@ -120,6 +125,26 @@ def main():
                           "delta_bbox": round(ab["pallas"]["bbox"]
                                               - ab["xla"]["bbox"], 5)}),
               flush=True)
+
+    if args.kp_ab:
+        assert kind == "keypoint_rcnn", "--kp_ab needs --kind keypoint_rcnn"
+        import json
+        ab = {}
+        for decode in ("host", "device"):
+            m2 = build_model({
+                "name": kind,
+                "backbone": {"name": "resnet50",
+                             "params": {"pretrained": False,
+                                        "freeze_layers": False}},
+                "params": {"num_classes": num_classes, "num_keypoints": 17,
+                           "kp_decode": decode}})
+            ev = common.evaluate(m2, t_params, t_state, test_loader)
+            ab[decode] = {t: round(float(s[0]), 4)
+                          for t, s in ev.stats.items()}
+        print(json.dumps({"kp_ab": ab,
+                          "delta_keypoints": round(
+                              ab["device"]["keypoints"]
+                              - ab["host"]["keypoints"], 5)}), flush=True)
 
     if args.skip_distill:
         extra = {t: float(s[0]) for t, s in tev.stats.items()}

@@ -80,6 +80,16 @@ def main():
                     default="faster_rcnn",
                     help="detector family to benchmark (VERDICT r3 #2: "
                          "mask/keypoint TPU numbers)")
+    ap.add_argument("--bb_detail", action="store_true",
+                    help="sub-attribute the backbone+FPN stage (stem / "
+                         "layer1-4 / FPN), its MFU from XLA cost analysis, "
+                         "and the normalize-fold lever (VERDICT r4 #9)")
+    ap.add_argument("--kp_decode", choices=("host", "device"),
+                    default="host",
+                    help="(keypoint_rcnn) heatmap decode placement; "
+                         "'device' = static-grid argmax on device "
+                         "(ops/kp_decode.py) — run both to A/B the "
+                         "worst-case host postprocess")
     args = ap.parse_args()
     h, w = (int(v) for v in args.hw.split(","))
     b = args.batch
@@ -93,6 +103,8 @@ def main():
     cfg = dict(cfg, params=dict(cfg["params"], roi_pool_impl=args.roi_impl))
     if args.kind != "faster_rcnn":
         cfg = dict(cfg, name=args.kind)  # factory reads the family here
+    if args.kind == "keypoint_rcnn":
+        cfg = dict(cfg, params=dict(cfg["params"], kp_decode=args.kp_decode))
     model = build_model(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16
@@ -175,6 +187,71 @@ def main():
         return fpn_feats
 
     t_bb = chain_time("backbone_fpn", bb, (images,), args.iters)
+
+    if args.bb_detail:
+        # VERDICT r4 #9: split the (round-4 largest) backbone+FPN eval stage
+        # into stem / layer1..4 / FPN, compute its MFU from XLA's own cost
+        # analysis, and test the one untried cheap lever (normalize folded
+        # out of the elementwise path).
+        body_p = params["backbone"]["body"]
+        body_s = state["backbone"]["body"]
+
+        def stem_fn(images):
+            return model.body.stem(body_p, model.normalize(images))
+
+        t_stem = chain_time("bb_stem_norm_conv1_pool", stem_fn, (images,),
+                            args.iters)
+
+        def stem_nonorm(images):  # the lever: is the normalize even visible?
+            return model.body.stem(body_p, images)
+
+        t_stem_nn = chain_time("bb_stem_no_normalize", stem_nonorm,
+                               (images,), args.iters)
+        print(json.dumps({
+            "stage": "bb_normalize_fold_lever",
+            "normalize_cost_ms": round((t_stem - t_stem_nn) * 1000, 2),
+            "verdict": ("refuted: normalize already fused/negligible"
+                        if (t_stem - t_stem_nn) * 1000 < 1.0 else
+                        "normalize costs real time - fold into conv1"),
+        }), flush=True)
+
+        y = jax.block_until_ready(jax.jit(stem_fn)(images))
+        feats_by_stage = []
+        for stage in range(4):
+            if stage == 0 and model.body.injected_layer1 is not None:
+                def l1_fn(y):
+                    out, _, _ = model.body.injected_layer1.apply(
+                        body_p["layer1"], body_s["layer1"], y,
+                        training=False, use_bottleneck_transformer=True)
+                    return out
+                chain_time("bb_layer1_bottleneck", l1_fn, (y,), args.iters)
+                y = jax.block_until_ready(jax.jit(l1_fn)(y))
+            else:
+                def stage_fn(y, stage=stage):
+                    return model.body._apply_stage(body_p, y, stage)
+                chain_time(f"bb_layer{stage + 1}", stage_fn, (y,),
+                           args.iters)
+                y = jax.block_until_ready(jax.jit(stage_fn)(y))
+            feats_by_stage.append(y)
+
+        def fpn_only(feats):
+            return model.fpn.apply(params["backbone"]["fpn"], feats)
+
+        chain_time("bb_fpn_only", fpn_only, (feats_by_stage,), args.iters)
+
+        cost = jax.jit(bb).lower(images).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        tflops_s = flops / t_bb / 1e12
+        print(json.dumps({
+            "stage": "bb_mfu",
+            "flops_g": round(flops / 1e9, 1),
+            "tflops_s": round(tflops_s, 1),
+            "mfu_pct_v5e_bf16": round(100 * tflops_s / 197.0, 1),
+            "bytes_gb": round(float(cost.get("bytes accessed", 0)) / 1e9, 2),
+        }), flush=True)
+
     fpn_feats = jax.jit(bb)(images)
     fpn_feats = jax.tree_util.tree_map(jax.block_until_ready, fpn_feats)
     print(json.dumps({"stage": "fpn_dtype",
