@@ -61,21 +61,42 @@ def replicate_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def put_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh) -> Dict[str, jnp.ndarray]:
+def put_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh,
+              batch_dim: int = 0) -> Dict[str, jnp.ndarray]:
     """Shard a batch onto the mesh's data axis.
 
     Single-process: a plain sharded device_put.  Multi-process (mesh spans
     processes): each process holds only its local shard of the global batch
     (per-host sharded loading, the DistributedSampler analog) and the global
     array is assembled from process-local data — the standard multi-host
-    input recipe."""
-    spec = shard_batch_spec(mesh)
+    input recipe.
+
+    ``batch_dim``: which dimension carries the batch.  Stacked microbatch
+    dispatches (``tpu.steps_per_dispatch`` > 1) carry leaves shaped
+    ``[n_steps, B, ...]`` and shard dim 1."""
+    axes = [None] * batch_dim + [mesh.axis_names[0]]
+    spec = NamedSharding(mesh, P(*axes))
     if jax.process_count() > 1 and any(
             d.process_index != jax.process_index()
             for d in mesh.devices.flat):
         return {k: jax.make_array_from_process_local_data(spec, np.asarray(v))
                 for k, v in batch.items()}
     return {k: jax.device_put(v, spec) for k, v in batch.items()}
+
+
+def stack_microbatches(batches: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack N loader batches into one ``[N, ...]``-leaved dispatch payload.
+
+    Host numpy leaves stack on host (one contiguous H2D staging buffer);
+    already-on-device leaves stack on device (no device->host hop)."""
+    out = {}
+    for k in batches[0]:
+        vals = [b[k] for b in batches]
+        if all(isinstance(v, np.ndarray) for v in vals):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = jnp.stack([jnp.asarray(v) for v in vals])
+    return out
 
 
 def replicate(tree, mesh: Mesh):
@@ -159,7 +180,9 @@ def make_distill_train_step(box: DistillationBox, optimizer,
                             frozen_modules: Sequence[str],
                             mesh: Optional[Mesh] = None,
                             compute_dtype=jnp.bfloat16,
-                            donate: bool = True):
+                            donate: bool = True,
+                            steps_per_dispatch: int = 1,
+                            dispatch_unroll: int = 1):
     """Build the jitted HND/GHND step.
 
     When ``criterion.org_loss_factor == 0`` (all 27 shipped reference
@@ -186,8 +209,28 @@ def make_distill_train_step(box: DistillationBox, optimizer,
     proposal sampling, pmean-averaged gradients) exactly like
     :func:`make_detection_train_step` — the student's training forward
     pools RoIs through a ``pallas_call`` that GSPMD cannot partition.
+
+    ``steps_per_dispatch`` > 1 builds the same step as a ``lax.scan`` over N
+    stacked microbatches (leaves ``[N, B, ...]``, rng keys ``[N, 2]``): one
+    host dispatch runs N optimizer steps back-to-back on device, amortizing
+    per-dispatch host overhead (~28 ms/dispatch on a tunneled backend,
+    sub-ms on directly attached hosts — BASELINE.md round-5).  The update
+    sequence equals N single dispatches with the same keys in exact
+    arithmetic (same math, same rng); the scanned and plain steps are
+    separately-compiled XLA programs, so large reductions may reassociate
+    at fp-noise level (parity tested at 1e-6 rel under SGD,
+    tests/test_distill.py::TestStackedDispatch).  The step returns stacked
+    ``[N]`` losses/term scalars for per-microstep logging.
+
+    ``dispatch_unroll``: ``lax.scan`` unroll factor for the microstep loop.
+    A scan body is compiled once and iterated behind a loop barrier; XLA
+    can overlap/fuse across unrolled copies but not across loop trips.
+    Compile-size bound: grad programs with RoI gather/scatter crash the
+    remote compile helper above ~2 unrolled copies (BASELINE.md round-5).
     """
     use_org = box.use_org_loss
+    spd = max(int(steps_per_dispatch), 1)
+    unroll = max(int(dispatch_unroll), 1)
 
     def local_step(t_params, t_state, s_params, s_state, opt_state, batch,
                    targets, rng, axis: Optional[str]):
@@ -217,33 +260,55 @@ def make_distill_train_step(box: DistillationBox, optimizer,
         new_s_params = optax.apply_updates(s_params, updates)
         return loss, loss_dict, new_s_params, new_s_state, new_opt_state
 
+    def scanned(t_params, t_state, s_params, s_state, opt_state, batch,
+                targets, rng, axis: Optional[str]):
+        # batch/targets leaves [N, B, ...]; rng [N]-stacked keys
+        def body(carry, xs):
+            sp, ss, os_ = carry
+            if use_org:
+                b, tg, key = xs
+            else:
+                b, key = xs
+                tg = None
+            loss, loss_dict, sp, ss, os_ = local_step(
+                t_params, t_state, sp, ss, os_, b, tg, key, axis)
+            return (sp, ss, os_), (loss, loss_dict)
+
+        xs = (batch, targets, rng) if use_org else (batch, rng)
+        (sp, ss, os_), (losses, loss_dicts) = jax.lax.scan(
+            body, (s_params, s_state, opt_state), xs, unroll=unroll)
+        return losses, loss_dicts, sp, ss, os_
+
+    core = scanned if spd > 1 else local_step
     if use_org:
         def step(t_params, t_state, s_params, s_state, opt_state, batch,
                  targets, rng):
-            return local_step(t_params, t_state, s_params, s_state,
-                              opt_state, batch, targets, rng, None)
+            return core(t_params, t_state, s_params, s_state,
+                        opt_state, batch, targets, rng, None)
     else:
         def step(t_params, t_state, s_params, s_state, opt_state, batch,
                  rng):
-            return local_step(t_params, t_state, s_params, s_state,
-                              opt_state, batch, None, rng, None)
+            return core(t_params, t_state, s_params, s_state,
+                        opt_state, batch, None, rng, None)
 
     donate_args = (2, 3, 4) if donate else ()
     if mesh is None or mesh.size <= 1:
         return jax.jit(step, donate_argnums=donate_args)
 
+    # stacked dispatches carry the batch dim at position 1
+    batch_spec = P(None, "data") if spd > 1 else P("data")
     if use_org:
         axis = mesh.axis_names[0]
         sharded = jax.shard_map(
-            functools.partial(local_step, axis=axis),
+            functools.partial(core, axis=axis),
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(axis), P(axis), P()),
+            in_specs=(P(), P(), P(), P(), P(), batch_spec, batch_spec, P()),
             out_specs=(P(), P(), P(), P(), P()),
             check_vma=False)  # pallas_call has no vma rule; pmean replicates
         return jax.jit(sharded, donate_argnums=donate_args)
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, batch_spec)
     return jax.jit(
         step,
         in_shardings=(repl, repl, repl, repl, repl,
@@ -257,7 +322,9 @@ def make_distill_train_step(box: DistillationBox, optimizer,
 def make_detection_train_step(model, optimizer,
                               frozen_modules: Sequence[str] = (),
                               mesh: Optional[Mesh] = None,
-                              compute_dtype=jnp.bfloat16):
+                              compute_dtype=jnp.bfloat16,
+                              steps_per_dispatch: int = 1,
+                              dispatch_unroll: int = 1):
     """Supervised detector training step (the coco_runner path): loss = sum
     of the R-CNN loss dict (reference src/coco_runner.py:43-44).
 
@@ -273,7 +340,15 @@ def make_detection_train_step(model, optimizer,
     same reason sharded EVAL uses shard_map (runners/common.py).  The
     sampler rng is ``fold_in``-ed with the shard index so shards draw
     independent proposal samples (each DDP rank samples its own images).
+
+    ``steps_per_dispatch`` > 1: scan over N stacked microbatches per host
+    dispatch (see :func:`make_distill_train_step`); targets stack cleanly
+    because the loader pads them to a static MAX_GT.  ``dispatch_unroll``:
+    scan unroll factor (see :func:`make_distill_train_step`).
     """
+    spd = max(int(steps_per_dispatch), 1)
+    unroll = max(int(dispatch_unroll), 1)
+
     def local_step(params, state, opt_state, batch, targets, rng,
                    axis: Optional[str]):
         mask = trainable_mask(params, frozen_modules)
@@ -302,15 +377,30 @@ def make_detection_train_step(model, optimizer,
         new_params = optax.apply_updates(params, updates)
         return loss, loss_dict, new_params, new_state, new_opt_state
 
+    def scanned(params, state, opt_state, batch, targets, rng,
+                axis: Optional[str]):
+        def body(carry, xs):
+            p, s, o = carry
+            b, tg, key = xs
+            loss, loss_dict, p, s, o = local_step(p, s, o, b, tg, key, axis)
+            return (p, s, o), (loss, loss_dict)
+
+        (p, s, o), (losses, loss_dicts) = jax.lax.scan(
+            body, (params, state, opt_state), (batch, targets, rng),
+            unroll=unroll)
+        return losses, loss_dicts, p, s, o
+
+    core = scanned if spd > 1 else local_step
     if mesh is None or mesh.size <= 1:
-        step = functools.partial(local_step, axis=None)
+        step = functools.partial(core, axis=None)
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     axis = mesh.axis_names[0]
+    batch_spec = P(None, axis) if spd > 1 else P(axis)
     sharded = jax.shard_map(
-        functools.partial(local_step, axis=axis),
+        functools.partial(core, axis=axis),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis), P(axis), P()),
+        in_specs=(P(), P(), P(), batch_spec, batch_spec, P()),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False)  # pallas_call has no vma rule; pmean replicates
     return jax.jit(sharded, donate_argnums=(0, 1, 2))

@@ -21,7 +21,7 @@ from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_detection_train_step, put_batch,
-                                        replicate)
+                                        replicate, stack_microbatches)
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
@@ -57,9 +57,18 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
         # (src/models/org/rcnn.py:399-404)
         frozen = list(frozen) + ["backbone.body.conv1", "backbone.body.bn1",
                                  "backbone.body.layer1"]
+    compute_dtype = common.compute_dtype_from_config(config)
+    # tpu.steps_per_dispatch: N optimizer steps per host dispatch via an
+    # in-jit lax.scan (see mesh.make_distill_train_step); targets stack
+    # cleanly because the loader pads to a static MAX_GT
+    tpu_cfg = config.get("tpu", {}) or {}
+    spd = max(int(tpu_cfg.get("steps_per_dispatch", 1)), 1)
     step = make_detection_train_step(
         model, optimizer, frozen, mesh=mesh,
-        compute_dtype=common.compute_dtype_from_config(config))
+        compute_dtype=compute_dtype, steps_per_dispatch=spd,
+        dispatch_unroll=max(int(tpu_cfg.get("dispatch_unroll", 1)), 1))
+    step1 = step if spd == 1 else make_detection_train_step(
+        model, optimizer, frozen, mesh=mesh, compute_dtype=compute_dtype)
 
     opt_state = optimizer.init(params)
     best_val_map = 0.0
@@ -96,18 +105,43 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
             for k, v in terms.items():
                 tb.add_scalar(f"train/{k}", v, idx)
 
+    def dispatch(fn, b, tg, keys, batch_dim):
+        nonlocal params, state, opt_state
+        loss, loss_dict, params, state, opt_state = fn(
+            params, state, opt_state,
+            put_batch(b, mesh, batch_dim), put_batch(tg, mesh, batch_dim),
+            keys)
+        return loss, loss_dict
+
     for epoch in range(int(train_cfg["num_epochs"])):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         metrics = common.StepMetrics()
+        micro = []  # microbatches buffered for a stacked dispatch (spd > 1)
         for batch, targets, _ in logger.log_every(
                 train_loader, log_freq, f"Epoch: [{epoch}]"):
             rng, key = jax.random.split(rng)
-            loss, loss_dict, params, state, opt_state = step(
-                params, state, opt_state,
-                put_batch(batch, mesh), put_batch(targets, mesh), key)
+            if spd > 1:
+                micro.append((batch, targets, key))
+                if len(micro) < spd:
+                    continue
+                loss, loss_dict = dispatch(
+                    step, stack_microbatches([m[0] for m in micro]),
+                    stack_microbatches([m[1] for m in micro]),
+                    jnp.stack([m[2] for m in micro]), 1)
+                micro.clear()
+                global_step += spd
+            else:
+                loss, loss_dict = dispatch(step1, batch, targets, key, 0)
+                global_step += 1
+            for entry in metrics.push(global_step, loss, loss_dict):
+                log_entry(logger, entry)
+        # epoch-end remainder (< spd buffered batches): plain single steps
+        for b, tg, key in micro:
+            loss, loss_dict = dispatch(step1, b, tg, key, 0)
             global_step += 1
-            log_entry(logger, metrics.push(global_step, loss, loss_dict))
+            for entry in metrics.push(global_step, loss, loss_dict):
+                log_entry(logger, entry)
         for entry in metrics.drain():
             log_entry(logger, entry)
 

@@ -80,16 +80,20 @@ class StepMetrics:
                 pass  # backend without async copy: device_get still works
 
     def push(self, step_index: int, loss, loss_dict):
-        """Record one step's device scalars.  Returns the
-        ``(step_index, loss, {term: value})`` floats of the step that fell
-        out of the lag window, or None while the window is filling."""
+        """Record one dispatch's device scalars.  ``loss`` (and each
+        ``loss_dict`` leaf) may be a stacked ``[N]`` vector when the step
+        ran N microsteps in one dispatch (``tpu.steps_per_dispatch``);
+        ``step_index`` is then the LAST microstep's index.  Returns the list
+        of per-step ``(step_index, loss, {term: value})`` float tuples that
+        fell out of the lag window (empty while the window is filling)."""
         self._start_copy(loss)
         for v in loss_dict.values():
             self._start_copy(v)
         self._pending.append((step_index, loss, dict(loss_dict)))
-        if len(self._pending) > self.lag:
-            return self._read_one()
-        return None
+        out = []
+        while len(self._pending) > self.lag:
+            out.extend(self._read_one())
+        return out
 
     def _read_one(self):
         # one device_get over the whole entry: copies are issued for every
@@ -97,13 +101,19 @@ class StepMetrics:
         # paid at push time when the backend supports async copies)
         idx, loss, d = self._pending.popleft()
         loss, d = jax.device_get((loss, d))
-        return idx, float(loss), {k: float(v) for k, v in d.items()}
+        loss = np.atleast_1d(np.asarray(loss, np.float64))
+        terms = {k: np.atleast_1d(np.asarray(v, np.float64))
+                 for k, v in d.items()}
+        n = loss.shape[0]
+        return [(idx - (n - 1) + j, float(loss[j]),
+                 {k: float(v[j]) for k, v in terms.items()})
+                for j in range(n)]
 
     def drain(self):
         """Read every remaining entry (epoch end)."""
         out = []
         while self._pending:
-            out.append(self._read_one())
+            out.extend(self._read_one())
         return out
 
 

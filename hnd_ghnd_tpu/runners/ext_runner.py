@@ -238,7 +238,8 @@ def main(args):
                     jax.device_put(labels, jax.sharding.NamedSharding(
                         mesh, jax.sharding.PartitionSpec("data"))))
                 global_step += 1
-                log_entry(logger, metrics.push(global_step, loss, {}))
+                for entry in metrics.push(global_step, loss, {}):
+                    log_entry(logger, entry)
                 if profile_dir:
                     profile_steps += 1
                     if profile_steps == 6:

@@ -23,7 +23,7 @@ from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_distill_train_step, put_batch,
-                                        replicate)
+                                        replicate, stack_microbatches)
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
@@ -69,9 +69,20 @@ def distill(teacher_pack, student_pack, config, args, mesh,
                                    steps_per_epoch, warmup)
     box = DistillationBox(teacher, student, train_cfg["criterion"])
     frozen = student_cfg.get("frozen_modules", [])
+    compute_dtype = common.compute_dtype_from_config(config)
+    # tpu.steps_per_dispatch: run N optimizer steps per host dispatch via an
+    # in-jit lax.scan over stacked microbatches — bit-identical update
+    # sequence, amortized per-dispatch host overhead (BASELINE.md round-5)
+    tpu_cfg = config.get("tpu", {}) or {}
+    spd = max(int(tpu_cfg.get("steps_per_dispatch", 1)), 1)
     step = make_distill_train_step(
         box, optimizer, frozen, mesh=mesh, donate=False,
-        compute_dtype=common.compute_dtype_from_config(config))
+        compute_dtype=compute_dtype, steps_per_dispatch=spd,
+        dispatch_unroll=max(int(tpu_cfg.get("dispatch_unroll", 1)), 1))
+    # epoch-end remainders (< spd batches) dispatch through the plain step
+    step1 = step if spd == 1 else make_distill_train_step(
+        box, optimizer, frozen, mesh=mesh, donate=False,
+        compute_dtype=compute_dtype)
 
     opt_state = optimizer.init(s_params)
     best_val_map = 0.0
@@ -110,37 +121,63 @@ def distill(teacher_pack, student_pack, config, args, mesh,
             for k, v in terms.items():
                 tb.add_scalar(f"train/{k}", v, idx)
 
+    def dispatch(fn, b, tg, keys, batch_dim):
+        nonlocal s_params, s_state, opt_state
+        # batch stays host-side numpy: put_batch device_puts it
+        # with the right sharding directly (a jnp.asarray here would
+        # cost an extra device->host hop in multi-process runs)
+        if box.use_org_loss:
+            # org_loss_factor != 0: the step takes the padded targets
+            # (reference tool.py:49-58 feeds them to the student)
+            loss, loss_dict, s_params, s_state, opt_state = fn(
+                t_params, t_state, s_params, s_state, opt_state,
+                put_batch(b, mesh, batch_dim),
+                put_batch(tg, mesh, batch_dim), keys)
+        else:
+            loss, loss_dict, s_params, s_state, opt_state = fn(
+                t_params, t_state, s_params, s_state, opt_state,
+                put_batch(b, mesh, batch_dim), keys)
+        return loss, loss_dict
+
     for epoch in range(num_epochs):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         metrics = common.StepMetrics()
         header = f"Epoch: [{epoch}]"
+        micro = []  # microbatches buffered for a stacked dispatch (spd > 1)
         for batch, targets, _ in logger.log_every(train_loader, log_freq,
                                                   header):
             rng, key = jax.random.split(rng)
             if profile_dir and profile_steps == 2:  # skip compile steps
                 jax.profiler.start_trace(profile_dir)
-            # batch stays host-side numpy: put_batch device_puts it
-            # with the right sharding directly (a jnp.asarray here would
-            # cost an extra device->host hop in multi-process runs)
-            if box.use_org_loss:
-                # org_loss_factor != 0: the step takes the padded targets
-                # (reference tool.py:49-58 feeds them to the student)
-                loss, loss_dict, s_params, s_state, opt_state = step(
-                    t_params, t_state, s_params, s_state, opt_state,
-                    put_batch(batch, mesh), put_batch(targets, mesh), key)
+            if spd > 1:
+                micro.append((batch, targets, key))
+                if len(micro) < spd:
+                    continue
+                sb = stack_microbatches([m[0] for m in micro])
+                st = (stack_microbatches([m[1] for m in micro])
+                      if box.use_org_loss else None)
+                keys = jnp.stack([m[2] for m in micro])
+                micro.clear()
+                loss, loss_dict = dispatch(step, sb, st, keys, 1)
+                global_step += spd
             else:
-                loss, loss_dict, s_params, s_state, opt_state = step(
-                    t_params, t_state, s_params, s_state, opt_state,
-                    put_batch(batch, mesh), key)
-            global_step += 1
-            log_entry(logger, metrics.push(global_step, loss, loss_dict))
+                loss, loss_dict = dispatch(step1, batch, targets, key, 0)
+                global_step += 1
+            for entry in metrics.push(global_step, loss, loss_dict):
+                log_entry(logger, entry)
             if profile_dir:
                 profile_steps += 1
                 if profile_steps == 6:
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {profile_dir}")
                     profile_dir = None
+        # epoch-end remainder (< spd buffered batches): plain single steps
+        for b, tg, key in micro:
+            loss, loss_dict = dispatch(step1, b, tg, key, 0)
+            global_step += 1
+            for entry in metrics.push(global_step, loss, loss_dict):
+                log_entry(logger, entry)
         for entry in metrics.drain():
             log_entry(logger, entry)
 

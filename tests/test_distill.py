@@ -136,6 +136,79 @@ class TestTrainStep:
         assert np.abs(bn_new - bn_old).max() > 0
 
 
+class TestStackedDispatch:
+    """``tpu.steps_per_dispatch`` > 1: one jitted dispatch scans N optimizer
+    steps over stacked microbatches (mesh.make_distill_train_step).  The
+    update sequence must match N plain dispatches with the same keys — the
+    runner's epoch-end remainder path dispatches through the spd=1 step, so
+    the two must be interchangeable mid-stream."""
+
+    def test_stacked_matches_sequential_on_mesh(self, models):
+        from hnd_ghnd_tpu.parallel.mesh import stack_microbatches
+        teacher, t_params, t_state, student, s_params, s_state = models
+        # mean-reduced MSE + SGD, not the shipped sum+Adam: the scanned and
+        # plain steps are separately-compiled XLA programs whose reductions
+        # may reassociate at fp32 noise level.  The sum-reduced objective
+        # has O(1e4) gradients (updates of ~1e2/step) that amplify that
+        # noise to ~1e-3 by step 2, and Adam's first updates are
+        # ~lr*sign(g); with O(1) gradients and a linear optimizer, genuine
+        # sequencing parity shows up at tight tolerance.
+        cfg = criterion_cfg([1])
+        cfg["terms"]["layer1"]["criterion"]["params"]["reduction"] = "mean"
+        box = DistillationBox(teacher, student, cfg)
+        optimizer, _ = build_optimizer({"type": "SGD",
+                                        "params": {"lr": 0.01,
+                                                   "momentum": 0.9}})
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        opt_state = optimizer.init(s_params)
+        step1 = make_distill_train_step(box, optimizer, FROZEN, mesh=mesh,
+                                        compute_dtype=jnp.float32,
+                                        donate=False)
+        step2 = make_distill_train_step(box, optimizer, FROZEN, mesh=mesh,
+                                        compute_dtype=jnp.float32,
+                                        donate=False, steps_per_dispatch=2)
+
+        def small_batch(seed, b=8, h=96, w=96):
+            r = np.random.RandomState(seed)
+            return {
+                "images": jnp.asarray(r.rand(b, h, w, 3).astype(np.float32)),
+                "image_sizes": jnp.asarray([[h, w]] * b, jnp.int32),
+                "original_sizes": jnp.asarray([[h, w]] * b, jnp.int32),
+            }
+
+        batches = [small_batch(s) for s in (0, 1)]
+        keys = [jax.random.PRNGKey(11), jax.random.PRNGKey(12)]
+        t_p, t_s = replicate(t_params, mesh), replicate(t_state, mesh)
+
+        # sequential expectation: two spd=1 dispatches
+        sp, ss, os_ = (replicate(s_params, mesh), replicate(s_state, mesh),
+                       replicate(opt_state, mesh))
+        seq_losses = []
+        for b, k in zip(batches, keys):
+            loss, _, sp, ss, os_ = step1(t_p, t_s, sp, ss, os_,
+                                         put_batch(b, mesh), k)
+            seq_losses.append(float(loss))
+
+        # one stacked dispatch: leaves [2, 8, ...] sharded on dim 1
+        stacked = put_batch(stack_microbatches(batches), mesh, batch_dim=1)
+        losses, loss_dicts, sp2, ss2, os2 = step2(
+            t_p, t_s, replicate(s_params, mesh), replicate(s_state, mesh),
+            replicate(opt_state, mesh), stacked, jnp.stack(keys))
+
+        assert np.asarray(losses).shape == (2,)
+        assert np.asarray(loss_dicts["layer1"]).shape == (2,)
+        np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+        for a, e in zip(jax.tree_util.tree_leaves(sp2),
+                        jax.tree_util.tree_leaves(sp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-6, atol=1e-6)
+        for a, e in zip(jax.tree_util.tree_leaves(ss2),
+                        jax.tree_util.tree_leaves(ss)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-6, atol=1e-6)
+
+
 class TestOrgLossDistill:
     """criterion.org_loss_factor != 0: the reference adds factor x sum(task
     losses) from a student forward WITH targets (src/distillation/loss.py:

@@ -348,3 +348,75 @@ class TestShardedDetectionTrainStep:
                         jax.tree_util.tree_leaves(params_exp)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                        rtol=2e-5, atol=1e-6)
+
+    def test_stacked_dispatch_matches_sequential_shard_map(self):
+        """``tpu.steps_per_dispatch`` > 1 on the supervised shard_map path:
+        one dispatch scans 2 microbatches ([2, B, ...] leaves sharded on
+        dim 1) and must match two plain dispatches with the same keys."""
+        import jax
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.models.factory import get_model
+        from hnd_ghnd_tpu.parallel.mesh import (build_optimizer,
+                                                make_detection_train_step,
+                                                make_mesh_for_batch,
+                                                put_batch, stack_microbatches)
+
+        model_cfg = {"name": "faster_rcnn",
+                     "backbone": {"name": "resnet18",
+                                  "params": {"pretrained": False}},
+                     "params": {"num_classes": 5, "pretrained": False}}
+        model, params, state = get_model(model_cfg, seed=0)
+        opt, _ = build_optimizer(
+            {"type": "SGD", "params": {"lr": 0.01, "momentum": 0.9}})
+        opt_state = opt.init(params)
+        mesh = make_mesh_for_batch(2, jax.devices()[:2])
+        assert mesh.size == 2
+
+        b, h, w, g = 4, 96, 96, 3
+        rnd = np.random.RandomState(7)
+
+        def microbatch(seed):
+            r = np.random.RandomState(seed)
+            sizes = jnp.asarray([[h, w]] * b, jnp.int32)
+            batch = {"images": jnp.asarray(
+                         r.rand(b, h, w, 3).astype(np.float32)),
+                     "image_sizes": sizes, "original_sizes": sizes}
+            x1 = r.uniform(0, 40, (b, g, 1))
+            y1 = r.uniform(0, 40, (b, g, 1))
+            wh = r.uniform(10, 40, (b, g, 2))
+            boxes = np.concatenate(
+                [x1, y1, x1 + wh[..., :1], y1 + wh[..., 1:]], -1)
+            targets = {"boxes": jnp.asarray(boxes, jnp.float32),
+                       "labels": jnp.ones((b, g), jnp.int32),
+                       "boxes_valid": jnp.ones((b, g), bool)}
+            return batch, targets
+
+        micro = [microbatch(s) for s in (1, 2)]
+        keys = [jax.random.PRNGKey(21), jax.random.PRNGKey(22)]
+
+        step1 = make_detection_train_step(model, opt, (), mesh=mesh,
+                                          compute_dtype=jnp.float32)
+        # the step donates (params, state, opt_state): give the sequential
+        # pass its own copies so step2 can reuse the originals
+        p, s, o = jax.tree_util.tree_map(jnp.array,
+                                         (params, state, opt_state))
+        seq_losses = []
+        for (mb, mt), k in zip(micro, keys):
+            loss, _, p, s, o = step1(p, s, o, put_batch(mb, mesh),
+                                     put_batch(mt, mesh), k)
+            seq_losses.append(float(loss))
+
+        step2 = make_detection_train_step(model, opt, (), mesh=mesh,
+                                          compute_dtype=jnp.float32,
+                                          steps_per_dispatch=2)
+        sb = put_batch(stack_microbatches([m[0] for m in micro]), mesh, 1)
+        st = put_batch(stack_microbatches([m[1] for m in micro]), mesh, 1)
+        losses, loss_dicts, p2, s2, o2 = step2(
+            params, state, opt_state, sb, st, jnp.stack(keys))
+
+        assert np.asarray(losses).shape == (2,)
+        np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+        for a, e in zip(jax.tree_util.tree_leaves(p2),
+                        jax.tree_util.tree_leaves(p)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                       rtol=1e-6, atol=1e-7)

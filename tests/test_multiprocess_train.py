@@ -115,9 +115,9 @@ if mode == "multi":
     orig_read = common.StepMetrics._read_one
 
     def recording_read(self):
-        entry = orig_read(self)
-        losses.append((entry[0], entry[1]))
-        return entry
+        entries = orig_read(self)
+        losses.extend((e[0], e[1]) for e in entries)
+        return entries
 
     common.StepMetrics._read_one = recording_read
 

@@ -90,11 +90,9 @@ class TestStepMetrics:
         m = self._mk(lag=2)
         out = []
         for i in range(5):
-            entry = m.push(i, jnp.asarray(float(i)),
-                           {"t": jnp.asarray(float(10 * i))})
-            if entry is not None:
-                out.append(entry)
-        # first `lag` pushes fill the window and return None
+            out.extend(m.push(i, jnp.asarray(float(i)),
+                              {"t": jnp.asarray(float(10 * i))}))
+        # first `lag` pushes fill the window and return nothing
         assert [e[0] for e in out] == [0, 1, 2]
         assert out[0] == (0, 0.0, {"t": 0.0})
         assert out[2] == (2, 2.0, {"t": 20.0})
@@ -110,8 +108,8 @@ class TestStepMetrics:
         seen_nan_at = None
         for i in range(6):
             val = float("nan") if i == 1 else float(i)
-            entry = m.push(i, jnp.asarray(val), {})
-            if entry is not None and not math.isfinite(entry[1]):
+            if any(not math.isfinite(e[1])
+                   for e in m.push(i, jnp.asarray(val), {})):
                 seen_nan_at = i
                 break
         # the NaN from step 1 must surface no later than step 1 + lag
@@ -120,5 +118,17 @@ class TestStepMetrics:
     def test_plain_python_floats_ok(self):
         # drain path works for host scalars too (no device involvement)
         m = self._mk(lag=1)
-        assert m.push(0, 1.5, {"a": 2.5}) is None
-        assert m.push(1, 3.5, {"a": 4.5}) == (0, 1.5, {"a": 2.5})
+        assert m.push(0, 1.5, {"a": 2.5}) == []
+        assert m.push(1, 3.5, {"a": 4.5}) == [(0, 1.5, {"a": 2.5})]
+
+    def test_stacked_entries_expand_per_microstep(self):
+        # steps_per_dispatch > 1: one push carries [N] vectors whose index
+        # is the LAST microstep's; entries expand to per-step floats
+        import jax.numpy as jnp
+        m = self._mk(lag=1)
+        assert m.push(2, jnp.asarray([1.0, 2.0]),
+                      {"a": jnp.asarray([3.0, 4.0])}) == []
+        out = m.push(4, jnp.asarray([5.0, 6.0]),
+                     {"a": jnp.asarray([7.0, 8.0])})
+        assert out == [(1, 1.0, {"a": 3.0}), (2, 2.0, {"a": 4.0})]
+        assert m.drain() == [(3, 5.0, {"a": 7.0}), (4, 6.0, {"a": 8.0})]

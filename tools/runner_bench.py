@@ -60,7 +60,9 @@ class RepeatLoader:
 def measure_runner_loop(batch: int = 24, steps: int = 120,
                         hw=(832, 1344), kind: str = "ghnd",
                         baseline: float = 10.0,
-                        compute_dtype: str = "bfloat16") -> dict:
+                        compute_dtype: str = "bfloat16",
+                        steps_per_dispatch: int = 1,
+                        dispatch_unroll: int = 1) -> dict:
     """Run the SHIPPED mimic_runner.distill loop for 2 epochs over an
     on-device repeated batch and return the epoch-2 window throughput
     (the PRODUCT number bench.py emits; see module docstring)."""
@@ -96,7 +98,14 @@ def measure_runner_loop(batch: int = 24, steps: int = 120,
         "student_model": dict(ge._student_config(), frozen_modules=[
             "backbone.body.layer2", "backbone.body.layer3",
             "backbone.body.layer4", "backbone.fpn", "rpn", "roi_heads"]),
-        "tpu": {"compute_dtype": compute_dtype},
+        "tpu": {"compute_dtype": compute_dtype,
+                # >1: the runner scans N optimizer steps per host dispatch
+                # (mesh.make_distill_train_step), amortizing the ~28 ms
+                # per-dispatch tunnel overhead measured in round 5
+                "steps_per_dispatch": steps_per_dispatch,
+                # scan unroll factor for the microstep loop (2 = the
+                # compile-helper MLIR-size ceiling for grad programs)
+                "dispatch_unroll": dispatch_unroll},
     }
 
     # on-device batch (bf16 images like the runner's cast target; fp32 in
@@ -175,12 +184,22 @@ def main():
     ap.add_argument("--dtype", choices=("bfloat16", "float32"),
                     default="bfloat16",
                     help="tpu.compute_dtype (float32 = shipped-config rate)")
+    ap.add_argument("--spd", type=int, default=1,
+                    help="tpu.steps_per_dispatch (scan N steps per dispatch)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="tpu.dispatch_unroll (scan unroll factor)")
     a = ap.parse_args()
     h, w = (int(v) for v in a.hw.split(","))
     out = measure_runner_loop(a.batch, a.steps, (h, w), a.kind, a.baseline,
-                              compute_dtype=a.dtype)
+                              compute_dtype=a.dtype,
+                              steps_per_dispatch=a.spd,
+                              dispatch_unroll=a.unroll)
     if a.dtype != "bfloat16":
         out["metric"] += f"_{a.dtype}"
+    if a.spd > 1:
+        out["metric"] += f"_spd{a.spd}"
+    if a.unroll > 1:
+        out["metric"] += f"_u{a.unroll}"
     print(json.dumps(out))
 
 
