@@ -111,6 +111,63 @@ class TestMimicRunner:
         assert "train/loss" in tags and "val/map" in tags
 
 
+class TestMimicRunnerStackedDispatch:
+    def test_spd_loop_covers_stacked_and_remainder(self, fixture, tmp_path):
+        """tpu.steps_per_dispatch=3 with 4 loader batches/epoch: the loop
+        runs ONE stacked dispatch (3 microsteps) plus ONE remainder step
+        through the plain spd=1 step, and the per-microstep metric entries
+        carry consecutive step indices 1..4 (runners/mimic_runner.py
+        dispatch + StepMetrics stacked-entry expansion)."""
+        from hnd_ghnd_tpu.runners import mimic_runner
+        img_dir, ann_file = fixture
+        ckpt = str(tmp_path / "student_spd.pt")
+        config = {
+            "dataset": dataset_block(img_dir, ann_file),
+            "teacher_model": model_block("faster_rcnn"),
+            "student_model": {
+                **model_block("faster_rcnn", bottleneck=3, ckpt=ckpt),
+                "distill_backbone_only": True,
+                "frozen_modules": ["backbone.body.layer2",
+                                   "backbone.body.layer3",
+                                   "backbone.body.layer4",
+                                   "backbone.fpn", "rpn", "roi_heads"],
+            },
+            "train": {
+                "num_epochs": 1, "batch_size": 2, "log_freq": 1,
+                "optimizer": {"type": "Adam", "params": {"lr": 0.001}},
+                "criterion": {
+                    "type": "general", "params": {"org_loss_factor": 0.0},
+                    "terms": {"layer1": {
+                        "ts_modules": ["backbone.body.layer1"] * 2,
+                        "criterion": {"type": "MSELoss",
+                                      "params": {"reduction": "sum"}},
+                        "factor": 1.0}}},
+            },
+            "test": {"batch_size": 1},
+            "tpu": {**tiny_tpu_block(), "steps_per_dispatch": 3},
+        }
+        cfg_path = tmp_path / "cfg_spd.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        tb_dir = str(tmp_path / "tb_spd")
+        args = argparse.Namespace(
+            config=str(cfg_path), json=None, device=None, world_size=None,
+            dist_url=None, seed=0, distill=True, test_only=False,
+            student_only=False, transform_bottleneck=False,
+            skip_teacher_eval=True, tb_dir=tb_dir)
+        mimic_runner.main(args)
+
+        assert os.path.exists(ckpt)
+        from hnd_ghnd_tpu.utils.tensorboard import read_scalars
+        events = [f for f in os.listdir(tb_dir)
+                  if f.startswith("events.out.tfevents")]
+        assert len(events) == 1
+        loss_steps = sorted(s for t, _, s in read_scalars(
+            os.path.join(tb_dir, events[0])) if t == "train/loss")
+        # 8 fixture images / batch 2 = 4 steps: microsteps 1-3 from the one
+        # stacked dispatch, step 4 from the epoch-end remainder
+        assert loss_steps == [1, 2, 3, 4]
+
+
 class TestExtRunner:
     def test_ext_train_and_threshold_table(self, tmp_path, capsys):
         from hnd_ghnd_tpu.runners import ext_runner

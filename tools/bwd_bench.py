@@ -415,9 +415,12 @@ def main():
         guarded("step_unrolled2_per_step", run_step2)
 
     if "distill_unrolled" in stages:
-        # the HEADLINE check: bench.py python-loops the GHND distill step;
-        # if dispatch overhead contaminates it, 2 steps per dispatch shows
-        # a lower per-step time (the on-chip truth a real TPU host gets)
+        # WITHDRAWN as an on-chip measurement (BASELINE.md round-5 CSE
+        # erratum): both inner steps share one batch and the teacher params
+        # are loop constants, so XLA CSEs the frozen teacher forward across
+        # the copies — the "2-per-dispatch" rate overcounts by the teacher
+        # share (~13%).  Kept only to reproduce the artifact; use
+        # tools/onchip_ab.py (distinct batches per copy) for the truth.
         def run_distill2():
             from bench import build_distill_bench
             dstep, (tp, ts), (sp, ss, os_), dbatch, dkey = \
