@@ -113,7 +113,7 @@ def gen_org():
         }
         if det == "keypoint_rcnn":
             cfg["model"]["params"]["num_keypoints"] = 17
-        write(os.path.join(ROOT, "org", f"{det}-resnet50.yaml"), cfg)
+        write(os.path.join(ROOT, "org", f"{det}-backbone_resnet50.yaml"), cfg)
 
 
 def gen_distill(method, bchs, layers):
@@ -171,7 +171,7 @@ def gen_distill(method, bchs, layers):
                 for key in ("teacher_model", "student_model"):
                     cfg[key]["params"]["num_keypoints"] = 17
             write(os.path.join(ROOT, method,
-                               f"{det}-resnet50-b{b}ch.yaml"), cfg)
+                               f"{det}-backbone_resnet50-b{b}ch.yaml"), cfg)
 
 
 def gen_ext():
@@ -211,7 +211,7 @@ def gen_ext():
         "test": {"batch_size": 1},
         "tpu": tpu_block(),
     }
-    write(os.path.join(ROOT, "ext", "keypoint_rcnn-ext_resnet50-b3ch.yaml"),
+    write(os.path.join(ROOT, "ext", "keypoint_rcnn-backbone_ext_resnet50-b3ch.yaml"),
           cfg)
 
 
