@@ -77,6 +77,11 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
         payload = ckpt_util.load_ckpt(ckpt_path)
         params = payload["params"]
         state = payload["state"] or state
+        if payload.get("opt_state") is not None:
+            # the reference restores the optimizer + scheduler on resume
+            # (models/__init__.py:20-35); the schedule step rides in
+            # opt_state's count
+            opt_state = payload["opt_state"]
         best_val_map = payload.get("best_value", 0.0)
         print(f"resumed from {ckpt_path}")
 

@@ -200,9 +200,20 @@ def main(args):
                                        max(len(train_loader), 1))
         step = make_ext_train_step(model, optimizer, mesh)
         opt_state = optimizer.init(params)
+        best_auc = 0.0
+        # resume like the reference (ext_runner.py:131-134: best ROC-AUC +
+        # classifier + optimizer + scheduler restored from the ext ckpt)
+        if ckpt_util.check_if_exists(ckpt_path):
+            payload = ckpt_util.load_ckpt(ckpt_path)
+            params = payload["params"]
+            state = payload["state"] or state
+            if payload.get("opt_state") is not None:
+                opt_state = payload["opt_state"]
+            best_auc = payload.get("best_value", 0.0)
+            print(f"resumed ext training from {ckpt_path} "
+                  f"(best ROC-AUC {best_auc:.4f})")
         params_r, state_r, opt_r = (replicate(x, mesh)
                                     for x in (params, state, opt_state))
-        best_auc = 0.0
         log_freq = int(train_cfg.get("log_freq", 1000))
         tb = SummaryWriter(getattr(args, "tb_dir", None)
                            if multihost.is_main_process() else None)
@@ -261,8 +272,8 @@ def main(args):
                 best_auc = auc
                 multihost.save_on_master(
                     ckpt_util.save_ckpt, ckpt_path, params=params_r,
-                    state=state_r, best_value=best_auc, config=config,
-                    args=vars(args))
+                    state=state_r, opt_state=opt_r, best_value=best_auc,
+                    config=config, args=vars(args))
         tb.close()
         params, state = params_r, state_r
     elif ckpt_util.check_if_exists(ckpt_path):

@@ -101,6 +101,9 @@ class TestMimicRunner:
         from hnd_ghnd_tpu.utils import ckpt as ckpt_util
         payload = ckpt_util.load_ckpt(ckpt)
         assert payload["params"] is not None
+        # optimizer state rides in the ckpt so resume restores it (the
+        # reference restores optimizer + scheduler, models/__init__.py:20-35)
+        assert payload.get("opt_state") is not None
         # TensorBoard curves were written and parse back
         from hnd_ghnd_tpu.utils.tensorboard import read_scalars
         events = [f for f in os.listdir(tb_dir)
@@ -210,5 +213,13 @@ class TestExtRunner:
                                                            events[0]))}
         assert "train/loss" in tags
         assert "val/accuracy" in tags and "val/recall" in tags
+        # the ext ckpt carries the optimizer state so a second run resumes
+        # optimizer + best ROC-AUC (reference ext_runner.py:131-134)
+        if os.path.exists(ckpt):  # written only when val AUC improved on 0.0
+            from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+            payload = ckpt_util.load_ckpt(ckpt)
+            assert payload.get("opt_state") is not None
+            ext_runner.main(args)  # second run: exercises the resume path
+            assert "resumed ext training" in capsys.readouterr().out
 
 pytestmark = pytest.mark.slow  # full-detector compiles; run fast core with -m "not slow"
