@@ -276,7 +276,10 @@ def main(args):
                     config=config, args=vars(args))
         tb.close()
         params, state = params_r, state_r
-    elif ckpt_util.check_if_exists(ckpt_path):
+    # the test threshold table always runs the BEST classifier, including
+    # right after training (reference ext_runner.py:191 reloads the
+    # best-ROC-AUC ckpt before the test evaluate)
+    if ckpt_util.check_if_exists(ckpt_path):
         payload = ckpt_util.load_ckpt(ckpt_path)
         params = payload["params"]
         state = payload["state"] or state

@@ -234,7 +234,10 @@ def main(args):
         s_params, s_state = distill(
             (teacher, t_params, t_state), (student, s_params, s_state),
             config, args, mesh, eval_jits=student_jits)
-    elif ckpt_util.check_if_exists(config["student_model"].get("ckpt")):
+    # the final test eval always runs the BEST checkpoint, including right
+    # after distillation (reference mimic_runner.py:148-149 reloads the
+    # best-mAP ckpt before evaluate) — not the last epoch's params
+    if ckpt_util.check_if_exists(config["student_model"].get("ckpt")):
         payload = ckpt_util.load_ckpt(config["student_model"]["ckpt"])
         s_params = payload["params"]
         s_state = payload["state"] or s_state
