@@ -35,7 +35,9 @@ DATA_RATES_MBPS = [0.5 * i for i in range(1, 21)]  # 0.5 .. 10 Mbps
 def get_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Cost analyzer")
     common.add_common_args(parser)
-    parser.add_argument("--model_params", action="store_true")
+    # the reference spells this one single-dash (src/cost_analyzer.py:26)
+    parser.add_argument("-model_params", "--model_params",
+                        action="store_true")
     parser.add_argument("--modules", nargs="+", default=None,
                         help="dotted module paths to count parameters for "
                              "(reference --modules, src/cost_analyzer.py:28)")

@@ -114,6 +114,59 @@ class TestMimicRunner:
         assert "train/loss" in tags and "val/map" in tags
 
 
+class TestCocoRunner:
+    def test_train_eval_ckpt(self, fixture, tmp_path):
+        """End-to-end supervised training through coco_runner.main: warmup
+        schedule, per-epoch val eval, best-mAP ckpt with optimizer state,
+        TensorBoard curves, final test eval (reference src/coco_runner.py)."""
+        from hnd_ghnd_tpu.runners import coco_runner
+        img_dir, ann_file = fixture
+        ckpt = str(tmp_path / "org.pt")
+        config = {
+            "dataset": dataset_block(img_dir, ann_file),
+            "model": {
+                "name": "faster_rcnn",
+                "backbone": {"name": "resnet18",
+                             "params": {"pretrained": False}},
+                "params": {"num_classes": 5, "pretrained": False},
+                "ckpt": ckpt,
+            },
+            "train": {
+                "num_epochs": 1, "batch_size": 2, "log_freq": 1,
+                "optimizer": {"type": "SGD",
+                              "params": {"lr": 0.0075, "momentum": 0.9,
+                                         "weight_decay": 0.0001}},
+                "scheduler": {"type": "MultiStepLR",
+                              "params": {"milestones": [16, 22],
+                                         "gamma": 0.1}},
+            },
+            "test": {"batch_size": 1},
+            "tpu": tiny_tpu_block(),
+        }
+        cfg_path = tmp_path / "org_cfg.yaml"
+        cfg_path.write_text(yaml.safe_dump(config))
+        tb_dir = str(tmp_path / "tb_org")
+        args = argparse.Namespace(
+            config=str(cfg_path), json=None, device=None, world_size=None,
+            dist_url=None, seed=0, train=True, test_only=False,
+            tb_dir=tb_dir)
+        coco_runner.main(args)
+
+        from hnd_ghnd_tpu.utils.tensorboard import read_scalars
+        events = [f for f in os.listdir(tb_dir)
+                  if f.startswith("events.out.tfevents")]
+        assert len(events) == 1
+        tags = {t for t, _, _ in read_scalars(os.path.join(tb_dir,
+                                                           events[0]))}
+        assert "train/loss" in tags and "val/map" in tags
+        if os.path.exists(ckpt):  # written only when val mAP improved on 0.0
+            from hnd_ghnd_tpu.utils import ckpt as ckpt_util
+            payload = ckpt_util.load_ckpt(ckpt)
+            # resume restores the optimizer (the schedule step rides in
+            # opt_state's count) — the payload must carry it
+            assert payload.get("opt_state") is not None
+
+
 class TestMimicRunnerStackedDispatch:
     def test_spd_loop_covers_stacked_and_remainder(self, fixture, tmp_path):
         """tpu.steps_per_dispatch=3 with 4 loader batches/epoch: the loop
