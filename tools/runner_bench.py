@@ -173,12 +173,118 @@ def measure_runner_loop(batch: int = 24, steps: int = 120,
     }
 
 
+def measure_coco_runner_loop(batch: int = 16, steps: int = 60,
+                             hw=(832, 1344), baseline: float = 10.0,
+                             compute_dtype: str = "bfloat16",
+                             steps_per_dispatch: int = 1) -> dict:
+    """Run the SHIPPED coco_runner.train loop (the supervised teacher-training
+    path, reference src/coco_runner.py) for 2 epochs over an on-device
+    repeated batch and return the epoch-2 window throughput — the supervised
+    twin of :func:`measure_runner_loop`.  Uses the org-config protocol
+    (freeze_layers=True: frozen conv1/bn1/layer1, SGD momentum + wd)."""
+    h, w = hw
+    import __graft_entry__ as ge
+    from hnd_ghnd_tpu.models.factory import build_model
+    from hnd_ghnd_tpu.runners import coco_runner, common
+
+    model_cfg = dict(ge._teacher_config())
+    model = build_model(model_cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    config = {
+        "model": model_cfg,
+        "train": {
+            "batch_size": batch, "num_epochs": 2, "log_freq": 10000,
+            "optimizer": {"type": "SGD",
+                          "params": {"lr": 0.0075, "momentum": 0.9,
+                                     "weight_decay": 0.0001}},
+            "scheduler": {"type": "MultiStepLR",
+                          "params": {"milestones": [16, 22], "gamma": 0.1}},
+        },
+        "tpu": {"compute_dtype": compute_dtype,
+                "steps_per_dispatch": steps_per_dispatch},
+    }
+
+    key = jax.random.PRNGKey(42)
+    batch_d = {
+        "images": jax.random.uniform(key, (batch, h, w, 3), jnp.float32),
+        "image_sizes": jnp.asarray([[800, 1333]] * batch, jnp.int32),
+        "original_sizes": jnp.asarray([[480, 640]] * batch, jnp.int32),
+    }
+    g = 8
+    rnd = np.random.RandomState(3)
+    x1 = rnd.uniform(0, 600, (batch, g, 1)).astype(np.float32)
+    y1 = rnd.uniform(0, 400, (batch, g, 1)).astype(np.float32)
+    wh = rnd.uniform(40, 300, (batch, g, 2)).astype(np.float32)
+    boxes = np.concatenate([x1, y1, np.minimum(x1 + wh[..., :1], 1332.0),
+                            np.minimum(y1 + wh[..., 1:], 799.0)], -1)
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.asarray(rnd.randint(1, 91, (batch, g)), jnp.int32),
+        "boxes_valid": jnp.ones((batch, g), bool),
+    }
+    jax.block_until_ready(batch_d["images"])
+
+    class RepeatTargetLoader(RepeatLoader):
+        def __iter__(self):
+            for _ in range(self.steps):
+                yield self.batch, targets, None
+
+    train_loader = RepeatTargetLoader(batch_d, steps)
+    eval_marks = []
+
+    def fake_evaluate(*a, **k):
+        eval_marks.append(time.perf_counter())
+
+        class EV:
+            stats = {"bbox": np.zeros(12)}
+        return EV()
+
+    class ValStub:
+        batch_size = 1
+
+    orig_loaders = common.loaders_from_config
+    common.loaders_from_config = lambda *a, **k: (train_loader, ValStub(),
+                                                  None)
+    orig_eval = common.evaluate
+    common.evaluate = fake_evaluate
+    try:
+        class A:
+            seed = 0
+            tb_dir = None
+
+        from hnd_ghnd_tpu.parallel.mesh import make_mesh_for_batch
+        mesh = make_mesh_for_batch(batch, jax.devices()[:1])
+        t0 = time.perf_counter()
+        coco_runner.train(model, params, state, config, A(), mesh)
+        t_end = time.perf_counter()
+    finally:
+        common.loaders_from_config = orig_loaders
+        common.evaluate = orig_eval
+
+    assert len(eval_marks) == 2, eval_marks
+    window = eval_marks[1] - eval_marks[0]
+    img_s = batch * steps / window
+    return {
+        "metric": f"coco_runner_train_img_s_b{batch}",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / baseline, 2),
+        "window_s": round(window, 2),
+        "steps": steps,
+        "epoch1_s": round(eval_marks[0] - t0, 2),
+        "total_s": round(t_end - t0, 2),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--hw", default="832,1344")
     ap.add_argument("--kind", choices=("ghnd", "hnd"), default="ghnd")
+    ap.add_argument("--runner", choices=("mimic", "coco"), default="mimic",
+                    help="coco = the supervised coco_runner.train loop")
     ap.add_argument("--baseline", type=float, default=10.0,
                     help="V100 img/s anchor (BASELINE.md)")
     ap.add_argument("--dtype", choices=("bfloat16", "float32"),
@@ -190,10 +296,15 @@ def main():
                     help="tpu.dispatch_unroll (scan unroll factor)")
     a = ap.parse_args()
     h, w = (int(v) for v in a.hw.split(","))
-    out = measure_runner_loop(a.batch, a.steps, (h, w), a.kind, a.baseline,
-                              compute_dtype=a.dtype,
-                              steps_per_dispatch=a.spd,
-                              dispatch_unroll=a.unroll)
+    if a.runner == "coco":
+        out = measure_coco_runner_loop(a.batch, a.steps, (h, w), a.baseline,
+                                       compute_dtype=a.dtype,
+                                       steps_per_dispatch=a.spd)
+    else:
+        out = measure_runner_loop(a.batch, a.steps, (h, w), a.kind,
+                                  a.baseline, compute_dtype=a.dtype,
+                                  steps_per_dispatch=a.spd,
+                                  dispatch_unroll=a.unroll)
     if a.dtype != "bfloat16":
         out["metric"] += f"_{a.dtype}"
     if a.spd > 1:
