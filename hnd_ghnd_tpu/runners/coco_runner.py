@@ -13,7 +13,6 @@ import math
 import sys
 
 import jax
-import jax.numpy as jnp
 
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.models.factory import get_model
@@ -21,7 +20,7 @@ from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_detection_train_step, put_batch,
-                                        replicate, stack_microbatches)
+                                        replicate)
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
@@ -97,8 +96,6 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
         # delayed-fetch read of a step's scalars (common.StepMetrics); the
         # NaN-loss hard abort (reference coco_runner.py:51-54) fires here,
         # within StepMetrics.lag steps of the bad update
-        if entry is None:
-            return
         idx, loss_val, terms = entry
         if not math.isfinite(loss_val):
             print(f"Loss is {loss_val}, stopping training")
@@ -122,27 +119,27 @@ def train(model, params, state, config, args, mesh, eval_jits=None):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         metrics = common.StepMetrics()
-        micro = []  # microbatches buffered for a stacked dispatch (spd > 1)
+        # per-BUCKET microbatch buffering (spd > 1): consecutive loader
+        # batches can come from different aspect-ratio buckets whose padded
+        # shapes differ and can never stack into one dispatch
+        micro = common.MicrobatchBuffer(spd)
         for batch, targets, _ in logger.log_every(
                 train_loader, log_freq, f"Epoch: [{epoch}]"):
             rng, key = jax.random.split(rng)
             if spd > 1:
-                micro.append((batch, targets, key))
-                if len(micro) < spd:
+                payload = micro.add(batch, targets, key)
+                if payload is None:
                     continue
-                loss, loss_dict = dispatch(
-                    step, stack_microbatches([m[0] for m in micro]),
-                    stack_microbatches([m[1] for m in micro]),
-                    jnp.stack([m[2] for m in micro]), 1)
-                micro.clear()
+                sb, st, keys = payload
+                loss, loss_dict = dispatch(step, sb, st, keys, 1)
                 global_step += spd
             else:
                 loss, loss_dict = dispatch(step1, batch, targets, key, 0)
                 global_step += 1
             for entry in metrics.push(global_step, loss, loss_dict):
                 log_entry(logger, entry)
-        # epoch-end remainder (< spd buffered batches): plain single steps
-        for b, tg, key in micro:
+        # epoch-end remainder (per-bucket leftovers): plain single steps
+        for b, tg, key in micro.drain():
             loss, loss_dict = dispatch(step1, b, tg, key, 0)
             global_step += 1
             for entry in metrics.push(global_step, loss, loss_dict):

@@ -117,6 +117,46 @@ class StepMetrics:
         return out
 
 
+class MicrobatchBuffer:
+    """Per-bucket buffering for ``tpu.steps_per_dispatch`` stacking.
+
+    Loader batches are padded to one of several static aspect-ratio buckets
+    (data/transforms.DEFAULT_BUCKETS), and consecutive batches can come
+    from DIFFERENT buckets — their image shapes differ, so they can never
+    be stacked into one ``[N, B, ...]`` dispatch.  Triples are therefore
+    buffered per full ``images`` shape (targets pad to a static MAX_GT, so
+    the image shape is the only varying axis); a bucket dispatches when ITS
+    buffer reaches ``spd``.  ``drain()`` yields every leftover triple at
+    epoch end for plain single-step dispatch."""
+
+    def __init__(self, spd: int):
+        self.spd = spd
+        self._bufs: Dict[Any, list] = {}
+
+    def add(self, batch, targets, key):
+        """Buffer one loader step.  Returns the stacked
+        ``(batch, targets_or_None, keys)`` payload when this batch's bucket
+        fills, else None."""
+        import jax.numpy as jnp
+        from hnd_ghnd_tpu.parallel.mesh import stack_microbatches
+        shape = tuple(batch["images"].shape)
+        buf = self._bufs.setdefault(shape, [])
+        buf.append((batch, targets, key))
+        if len(buf) < self.spd:
+            return None
+        self._bufs[shape] = []
+        sb = stack_microbatches([m[0] for m in buf])
+        st = (stack_microbatches([m[1] for m in buf])
+              if buf[0][1] is not None else None)
+        keys = jnp.stack([m[2] for m in buf])
+        return sb, st, keys
+
+    def drain(self):
+        for buf in self._bufs.values():
+            yield from buf
+        self._bufs = {}
+
+
 class JitCache:
     """One compiled forward per (bucket shape, flag tuple)."""
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 
 import jax
-import jax.numpy as jnp
 
 from hnd_ghnd_tpu.core.config import load_config, overwrite_config
 from hnd_ghnd_tpu.distill.box import DistillationBox
@@ -23,7 +22,7 @@ from hnd_ghnd_tpu.parallel import multihost
 from hnd_ghnd_tpu.parallel.mesh import (build_optimizer, make_mesh,
                                         make_mesh_for_batch,
                                         make_distill_train_step, put_batch,
-                                        replicate, stack_microbatches)
+                                        replicate)
 from hnd_ghnd_tpu.runners import common
 from hnd_ghnd_tpu.utils import ckpt as ckpt_util
 from hnd_ghnd_tpu.utils.logging import MetricLogger
@@ -112,8 +111,6 @@ def distill(teacher_pack, student_pack, config, args, mesh,
     def log_entry(logger, entry):
         # delayed-fetch read of a step's scalars (common.StepMetrics): the
         # hot loop never blocks on the step it just dispatched
-        if entry is None:
-            return
         idx, loss_val, terms = entry
         logger.update(loss=loss_val, **terms)
         if idx % log_freq == 0:
@@ -144,21 +141,30 @@ def distill(teacher_pack, student_pack, config, args, mesh,
         logger = MetricLogger()
         metrics = common.StepMetrics()
         header = f"Epoch: [{epoch}]"
-        micro = []  # microbatches buffered for a stacked dispatch (spd > 1)
+        # per-BUCKET microbatch buffering (spd > 1): consecutive loader
+        # batches can come from different aspect-ratio buckets whose padded
+        # shapes differ and can never stack into one dispatch
+        micro = common.MicrobatchBuffer(spd)
         for batch, targets, _ in logger.log_every(train_loader, log_freq,
                                                   header):
             rng, key = jax.random.split(rng)
-            if profile_dir and profile_steps == 2:  # skip compile steps
-                jax.profiler.start_trace(profile_dir)
+            if profile_dir:
+                # counted per loader ITERATION at the top of the loop: a
+                # buffering iteration (spd > 1) must advance the counter or
+                # start_trace would fire twice
+                profile_steps += 1
+                if profile_steps == 3:  # skip the compile iterations
+                    jax.profiler.start_trace(profile_dir)
+                elif profile_steps == 7:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {profile_dir}")
+                    profile_dir = None
             if spd > 1:
-                micro.append((batch, targets, key))
-                if len(micro) < spd:
+                payload = micro.add(
+                    batch, targets if box.use_org_loss else None, key)
+                if payload is None:
                     continue
-                sb = stack_microbatches([m[0] for m in micro])
-                st = (stack_microbatches([m[1] for m in micro])
-                      if box.use_org_loss else None)
-                keys = jnp.stack([m[2] for m in micro])
-                micro.clear()
+                sb, st, keys = payload
                 loss, loss_dict = dispatch(step, sb, st, keys, 1)
                 global_step += spd
             else:
@@ -166,14 +172,8 @@ def distill(teacher_pack, student_pack, config, args, mesh,
                 global_step += 1
             for entry in metrics.push(global_step, loss, loss_dict):
                 log_entry(logger, entry)
-            if profile_dir:
-                profile_steps += 1
-                if profile_steps == 6:
-                    jax.profiler.stop_trace()
-                    print(f"profiler trace written to {profile_dir}")
-                    profile_dir = None
-        # epoch-end remainder (< spd buffered batches): plain single steps
-        for b, tg, key in micro:
+        # epoch-end remainder (per-bucket leftovers): plain single steps
+        for b, tg, key in micro.drain():
             loss, loss_dict = dispatch(step1, b, tg, key, 0)
             global_step += 1
             for entry in metrics.push(global_step, loss, loss_dict):
