@@ -7,10 +7,13 @@ The reference writes temp files; this implementation keeps the payload in
 memory (bytes are the wire format), which is what a real edge deployment
 sends.
 
-These are host-side components (libjpeg via PIL); they cannot run inside a
-jitted model, so get_bottleneck_transformer (codec/quantizer.py) rejects
-them for the in-model transformer and they are used by host pipelines (e.g.
-cost_analyzer payload studies, RGB-input split deployments).
+These are host-side components (libjpeg via PIL).  When a
+``bottleneck_transformer`` config names a JPEG component,
+get_bottleneck_transformer (codec/quantizer.py) builds a host-side chain
+from these classes and the model routes the bottleneck tensor through it
+with jax.pure_callback (models/bottleneck.py) — so JPEG configs run
+in-model like the reference's.  They also serve host pipelines directly
+(cost_analyzer payload studies, RGB-input split deployments).
 """
 from __future__ import annotations
 
