@@ -418,7 +418,7 @@ def pallas_multiscale_roi_align_batch(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, PP, WB), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
+    ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4
     out = pl.pallas_call(
         kernel,
         grid=(m,),
